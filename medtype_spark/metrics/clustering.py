@@ -1,0 +1,160 @@
+"""Clustering (coreference / linkage) metrics, DataFrame-native.
+
+Reimplements the neleval clustering measures used by the reference's
+evaluation CLI — including **pairwise**, the acceptance metric
+(pairwise linkage F1 ≥ 0.99) — as pure join+groupBy plans with
+map-side partial aggregation.  Semantics locked to:
+
+- pairwise:  medtype-trainer/neleval/neleval/coref_metrics.py:605-611
+  (``pairwise_slow``): num = Σ_{t,p} C(|t∩p|,2); p_den = Σ_p C(|p|,2);
+  r_den = Σ_t C(|t|,2).
+- b_cubed:   coref_metrics.py:503-523: P = mean over pred mentions of
+  |pred∩true|/|pred|, symmetric for R; mentions absent from the other
+  side contribute 0 to the numerator but count in the denominator.
+- muc:       coref_metrics.py:640-660 (``_vilain``): per cluster,
+  num += |c| − unaligned − |distinct corresponding clusters|,
+  den += |c| − 1.
+
+Zero denominators yield 0.0 like the reference Matrix
+(neleval/evaluate.py:272-279).
+
+Inputs are *mapping-form* cluster tables ``(mention, cluster)`` — the
+scalable representation (never a collected set-of-sets): at 10^12 docs
+the contingency table (one row per overlapping true×pred cluster pair)
+is the only materialized intermediate, and it shrinks with clustering
+quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tri(c):
+    """n choose 2 as a Column expression."""
+    return (c * (c - F.lit(1))) / F.lit(2)
+
+
+def _safe_div(num, den):
+    return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
+
+def prf_row(df: DataFrame) -> DataFrame:
+    """Append precision/recall/fscore to a (p_num,p_den,r_num,r_den) row."""
+    p = _safe_div(F.col("p_num"), F.col("p_den"))
+    r = _safe_div(F.col("r_num"), F.col("r_den"))
+    f = F.when((p + r) == 0, F.lit(0.0)).otherwise(2 * p * r / (p + r))
+    return df.select(
+        "*",
+        p.alias("precision"),
+        r.alias("recall"),
+        f.alias("fscore"),
+    )
+
+
+def _normalize(df: DataFrame, mention: str, cluster: str) -> DataFrame:
+    return df.select(F.col(mention).alias("m"), F.col(cluster).alias("c")).dropDuplicates()
+
+
+def _contingency(true: DataFrame, pred: DataFrame):
+    """Shared counts: per-pair intersections and per-cluster sizes."""
+    inter = (
+        true.join(pred.withColumnRenamed("c", "pc"), "m")
+        .groupBy("c", "pc")
+        .agg(F.count(F.lit(1)).alias("n_tp"))
+    )
+    t_sizes = true.groupBy("c").agg(F.count(F.lit(1)).alias("n_t"))
+    p_sizes = pred.groupBy("c").agg(F.count(F.lit(1)).alias("n_p"))
+    return inter, t_sizes, p_sizes
+
+
+def pairwise(
+    true: DataFrame,
+    pred: DataFrame,
+    mention: str = "mention",
+    cluster: str = "cluster",
+) -> DataFrame:
+    """Pairwise linkage P/R/F over co-clustered mention pairs.
+
+    Returns a single-row DataFrame
+    (p_num, p_den, r_num, r_den, precision, recall, fscore) — num is
+    shared between P and R per coref_metrics.py:605-611.
+    """
+    t = _normalize(true, mention, cluster)
+    p = _normalize(pred, mention, cluster)
+    inter, t_sizes, p_sizes = _contingency(t, p)
+
+    num = inter.agg(F.coalesce(F.sum(_tri(F.col("n_tp"))), F.lit(0.0)).alias("num"))
+    p_den = p_sizes.agg(F.coalesce(F.sum(_tri(F.col("n_p"))), F.lit(0.0)).alias("p_den"))
+    r_den = t_sizes.agg(F.coalesce(F.sum(_tri(F.col("n_t"))), F.lit(0.0)).alias("r_den"))
+
+    row = (
+        num.crossJoin(p_den)
+        .crossJoin(r_den)
+        .select(
+            F.col("num").alias("p_num"),
+            "p_den",
+            F.col("num").alias("r_num"),
+            "r_den",
+        )
+    )
+    return prf_row(row)
+
+
+def b_cubed(
+    true: DataFrame,
+    pred: DataFrame,
+    mention: str = "mention",
+    cluster: str = "cluster",
+) -> DataFrame:
+    """Bagga & Baldwin (1998) B³, per coref_metrics.py:503-523."""
+    t = _normalize(true, mention, cluster)
+    p = _normalize(pred, mention, cluster)
+    inter, t_sizes, p_sizes = _contingency(t, p)
+
+    p_num = (
+        inter.join(p_sizes.withColumnRenamed("c", "pc"), "pc")
+        .agg(F.coalesce(F.sum(F.col("n_tp") * F.col("n_tp") / F.col("n_p")), F.lit(0.0)).alias("p_num"))
+    )
+    r_num = (
+        inter.join(t_sizes, "c")
+        .agg(F.coalesce(F.sum(F.col("n_tp") * F.col("n_tp") / F.col("n_t")), F.lit(0.0)).alias("r_num"))
+    )
+    p_den = p.agg(F.count(F.lit(1)).cast("double").alias("p_den"))
+    r_den = t.agg(F.count(F.lit(1)).cast("double").alias("r_den"))
+
+    row = p_num.crossJoin(p_den).crossJoin(r_num).crossJoin(r_den).select(
+        "p_num", "p_den", "r_num", "r_den"
+    )
+    return prf_row(row)
+
+
+def muc(
+    true: DataFrame,
+    pred: DataFrame,
+    mention: str = "mention",
+    cluster: str = "cluster",
+) -> DataFrame:
+    """Vilain et al. (1995) MUC, per coref_metrics.py:640-660."""
+    t = _normalize(true, mention, cluster)
+    p = _normalize(pred, mention, cluster)
+
+    def vilain(a: DataFrame, b: DataFrame):
+        """num/den of _vilain(A, B_mapping) as 1-row DF (num, den)."""
+        joined = a.join(b.withColumnRenamed("c", "bc"), "m", "left")
+        per_cluster = joined.groupBy("c").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("bc")).alias("parts"),
+            F.sum(F.col("bc").isNull().cast("long")).alias("unaligned"),
+        )
+        return per_cluster.agg(
+            F.coalesce(
+                F.sum(F.col("n") - F.col("unaligned") - F.col("parts")), F.lit(0)
+            ).cast("double").alias("num"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("double").alias("den"),
+        )
+
+    prow = vilain(p, t).select(F.col("num").alias("p_num"), F.col("den").alias("p_den"))
+    rrow = vilain(t, p).select(F.col("num").alias("r_num"), F.col("den").alias("r_den"))
+    return prf_row(prow.crossJoin(rrow))

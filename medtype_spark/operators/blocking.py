@@ -1,0 +1,120 @@
+"""Blocking-key generation and skew-aware within-block pair generation.
+
+The analogue of the reference's candidate generation: QuickUMLS blocks
+the UMLS lexicon by n-gram similarity before scoring
+(medtype-as-service/server/medtype_serving/server/entity_linkers.py:50-70),
+and the serving layer routes hot traffic specially
+(.../server/__init__.py:128-131, 204-207).  At 10^12-doc scale a hot
+blocking key (a common surface form like "apple") turns the within-block
+self-join into a single-reducer quadratic bomb, so:
+
+1. a cheap pre-pass counts block sizes (one groupBy);
+2. keys whose count exceeds ``hot_threshold`` are *salted*: members get
+   a deterministic salt in [0, s) with s = ceil(count / target);
+3. pairs = within-salt-cell pairs + cross-cell pairs enumerated over the
+   (i < j) cell grid — every unordered intra-block pair is produced
+   EXACTLY once (completeness is property-tested with a planted hot
+   key in tests/test_blocking.py).
+
+Everything is built-in DataFrame ops — the joins shuffle on
+(key, salt) so no single task ever sees a whole hot block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from medtype_spark.functions.text import clean_text_udf
+
+
+def blocking_key(col):
+    """Normalized-surface-form blocking key: lower, trim, collapse
+    whitespace, strip non-alnum.  (Type-filtered refinement is applied
+    separately by the J8 type filter — see operators/typefilter.py.)"""
+    out = F.lower(F.trim(col))
+    out = F.regexp_replace(out, r"[^a-z0-9 ]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return out
+
+
+def with_blocking_key(mentions: DataFrame, mention_col: str = "mention",
+                      out_col: str = "block_key") -> DataFrame:
+    cleaned = clean_text_udf(F.col(mention_col))
+    return mentions.withColumn(out_col, blocking_key(cleaned))
+
+
+def block_pairs(
+    df: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "mention_key",
+    hot_threshold: int = 10000,
+    target_cell: int = 2000,
+    max_block: int | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """All unordered within-block pairs, salted for hot keys.
+
+    Returns DataFrame(key_col, a_<id>, b_<id> [, a_/b_ extra cols]) with
+    ``a < b`` canonical order.  Blocks larger than ``max_block`` (if
+    set) are dropped entirely (the reference analogously refuses
+    unbounded candidate lists — QuickUMLS thresholds at 0.6 similarity).
+    """
+    extra_cols = extra_cols or []
+    cols = [key_col, id_col, *extra_cols]
+    base = df.select(*cols)
+
+    counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("_bsize"))
+    if max_block is not None:
+        counts = counts.where(F.col("_bsize") <= max_block)
+    counts = counts.withColumn(
+        "_ncells",
+        F.when(F.col("_bsize") > hot_threshold,
+               F.ceil(F.col("_bsize") / F.lit(target_cell)).cast("int"))
+        .otherwise(F.lit(1)),
+    )
+
+    salted = base.join(counts, key_col).withColumn(
+        "_cell", F.pmod(F.xxhash64(F.col(id_col)), F.col("_ncells")).cast("int")
+    )
+
+    def side(prefix: str) -> DataFrame:
+        renames = [F.col(key_col)] + [
+            F.col(c).alias(f"{prefix}_{c}") for c in [id_col, *extra_cols]
+        ] + [F.col("_cell").alias(f"{prefix}_cell")]
+        return salted.select(*renames)
+
+    a, b = side("a"), side("b")
+
+    # Same-cell pairs: canonical id order within the cell.
+    same = a.join(
+        b,
+        on=[a[key_col] == b[key_col], F.col("a_cell") == F.col("b_cell"),
+            F.col(f"a_{id_col}") < F.col(f"b_{id_col}")],
+    ).drop(b[key_col])
+    # Cross-cell pairs: cell grid i<j covers each unordered pair once;
+    # canonicalize ids afterwards so downstream sees a<b.
+    cross = a.join(
+        b,
+        on=[a[key_col] == b[key_col], F.col("a_cell") < F.col("b_cell")],
+    ).drop(b[key_col])
+
+    out_cols = [key_col] + [f"a_{c}" for c in [id_col, *extra_cols]] + [
+        f"b_{c}" for c in [id_col, *extra_cols]
+    ]
+    same_part = same.select(*out_cols)
+
+    # For cross-cell pairs enforce a<b by swapping where needed.
+    swap_needed = F.col(f"a_{id_col}") > F.col(f"b_{id_col}")
+    swapped_cols = [F.col(key_col)]
+    for c in [id_col, *extra_cols]:
+        swapped_cols.append(
+            F.when(swap_needed, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(f"a_{c}")
+        )
+    for c in [id_col, *extra_cols]:
+        swapped_cols.append(
+            F.when(swap_needed, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}")).alias(f"b_{c}")
+        )
+    cross_part = cross.select(*swapped_cols).select(*out_cols)
+
+    return same_part.union(cross_part)

@@ -1,0 +1,123 @@
+"""Connected components via alternating large-star / small-star.
+
+GraphFrames-free transitive clustering: iterative DataFrame self-joins
+with checkpointed lineage, per the north rule.  The reference reaches
+for connected components twice — scipy ``csgraph.connected_components``
+to decompose the CEAF assignment problem
+(medtype-trainer/neleval/neleval/coref_metrics.py:407-440) and the
+implicit transitive closure of entity clusters — but both are
+single-process.  Here we use the alternating algorithm of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SOCC 2014), which
+converges in O(log^2 n) rounds even on path graphs (where naive
+min-label propagation needs O(diameter) rounds — fatal at 10^12-doc
+scale).
+
+Each round is two (groupBy + join) stages — no collect_list of
+neighborhoods, so hub nodes with millions of neighbors never
+materialize a row-local adjacency list.  Lineage is truncated with
+``localCheckpoint`` every round; convergence is detected by an
+order-insensitive edge-set fingerprint (count + sum of xxhash64),
+which costs one cheap aggregate instead of a full sort/compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    # decimal(38,0) sum: overflow-safe under ANSI mode (Spark 4 default)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, where m(u)=min(Γ(u) ∪ {u})."""
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then link all small neighbors to the min."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    neighbor_links = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return neighbor_links.union(self_links).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    vertex_col: str = "node",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label each node with the minimum node id of its component.
+
+    Parameters
+    ----------
+    edges : DataFrame with columns ``src``, ``dst`` (any orderable type).
+    vertices : optional DataFrame of all nodes (``vertex_col``); isolated
+        nodes (no edges) get their own id as component label.
+
+    Returns DataFrame(node, component).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    all_nodes = e.select(F.col("u").alias(vertex_col)).union(
+        e.select(F.col("v").alias(vertex_col))
+    )
+    if vertices is not None:
+        all_nodes = all_nodes.union(vertices.select(F.col(vertex_col)))
+    all_nodes = all_nodes.distinct().localCheckpoint()
+
+    if e.isEmpty():
+        return all_nodes.select(
+            F.col(vertex_col).alias("node"), F.col(vertex_col).alias("component")
+        )
+
+    prev_fp = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Converged: every edge points node → component-min (stars).  A node
+    # may still appear as the root only; fill with self-label.
+    labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+    return (
+        all_nodes.select(F.col(vertex_col).alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )

@@ -1,0 +1,188 @@
+"""The flagship record-linkage pipeline, end-to-end.
+
+``pages(url, warc_ts, html, text, lang)``
+  → byte-identical text extraction (vectorized Arrow UDF)
+  → mention detection + candidate generation (mapInPandas dictionary
+    linker)
+  → blocking keys (normalized surface head token) + semantic-type
+    prediction (batched pandas-UDF scorer) + type-filtered candidates
+    (the MedType filter, .../server/__init__.py:524-544)
+  → skew-aware salted within-block pair generation
+  → Jaro-Winkler pairwise scoring with type-agreement pruning
+  → hash-free transitive clustering via alternating-star connected
+    components (iterative self-joins, checkpointed lineage)
+  → cluster table (mention_key, entity_cluster) + pairwise-F1 eval vs
+    gold (the acceptance metric).
+
+This restates the reference's serving dataflow (SURVEY.md §3.1) as one
+declarative Spark plan per stage; every process boundary of the
+ZMQ ventilator/worker/sink design collapses into a shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from medtype_spark.datagen.pages import build_lexicon
+from medtype_spark.metrics.clustering import pairwise
+from medtype_spark.operators.blocking import block_pairs, blocking_key
+from medtype_spark.operators.cc import connected_components
+from medtype_spark.operators.mentions import detect_mentions
+from medtype_spark.operators.pairs import jaro_winkler_udf
+from medtype_spark.operators.typefilter import filter_candidates
+
+
+# --- stage 1: byte-identical text extraction ---------------------------
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Extract body text from page html, byte-identical per url.
+
+    The per-row invariant of the north rule (analogue of the
+    length-preserving clean_text asserted at
+    medtype-trainer/dump_linkers_output.py:147,195).
+    """
+    decoded = html.apply(lambda b: b.decode("utf-8", "replace") if b is not None else "")
+    return decoded.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    return pages.withColumn("extracted_text", extract_text_udf(F.col("html")))
+
+
+# --- stage 2/3 helpers -------------------------------------------------
+
+def make_dict_type_scorer(spark: SparkSession, mapping: dict[str, list[str]]):
+    """Batched pandas-UDF type scorer backed by a broadcast dictionary.
+
+    Same contract as the transformer scorer stub
+    (functions/scoring.py) — normalized mention → coarse-type set —
+    but "trained to convergence": it looks types up from the alias
+    dimension, standing in for a model with the reference's reported
+    95% type accuracy (Readme.md:74).
+    """
+    b = spark.sparkContext.broadcast(mapping)
+
+    @pandas_udf(ArrayType(StringType()))
+    def dict_type_scorer(keys: pd.Series) -> pd.Series:
+        m = b.value
+        return keys.map(lambda k: m.get(k, []))
+
+    return dict_type_scorer
+
+
+def normalized_form(col: Column) -> Column:
+    return blocking_key(col)
+
+
+def head_token(col: Column) -> Column:
+    """Blocking key: first token of the normalized surface form."""
+    return F.split(col, " ")[0]
+
+
+# --- the full pipeline -------------------------------------------------
+
+def run_linkage(
+    pages: DataFrame,
+    lexicon: pd.DataFrame,
+    entity_types: DataFrame,
+    score_threshold: float = 0.95,
+    hot_threshold: int = 10000,
+    target_cell: int = 2000,
+    require_type_agreement: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the flagship pipeline; returns the per-stage DataFrames."""
+    spark = pages.sparkSession
+
+    extracted = extract_pages(pages)
+
+    mentions = detect_mentions(extracted, lexicon, text_col="extracted_text")
+    mentions = mentions.withColumn(
+        "mention_key",
+        F.concat_ws("#", F.col("url"), F.col("start_offset").cast("string")),
+    )
+    mentions = mentions.withColumn("norm_form", normalized_form(F.col("mention")))
+    mentions = mentions.withColumn("block_key", head_token(F.col("norm_form")))
+
+    # semantic-type prediction + the MedType candidate filter (J8)
+    alias2types = {}
+    for _, row in lexicon.iterrows():
+        key = "".join(
+            ch for ch in row["alias"].lower() if ch.isalnum() or ch == " "
+        )
+        key = " ".join(key.split())
+        alias2types.setdefault(key, set()).add(row["type"])
+    scorer = make_dict_type_scorer(
+        spark, {k: sorted(v) for k, v in alias2types.items()}
+    )
+    mentions = mentions.withColumn("pred_type", scorer(F.col("norm_form")))
+    mentions = filter_candidates(mentions, entity_types)
+
+    # salted within-block pairs + Jaro-Winkler scoring
+    pairs = block_pairs(
+        mentions,
+        key_col="block_key",
+        id_col="mention_key",
+        hot_threshold=hot_threshold,
+        target_cell=target_cell,
+        extra_cols=["norm_form", "pred_type"],
+    )
+    scored = pairs.withColumn(
+        "score", F.round(jaro_winkler_udf(F.col("a_norm_form"), F.col("b_norm_form")), 3)
+    )
+    edge_cond = F.col("score") >= F.lit(score_threshold)
+    if require_type_agreement:
+        # type-filtered blocking: prune pairs whose predicted type sets
+        # are both non-empty and disjoint (MedType's filter semantics:
+        # an empty prediction never prunes, __init__.py:530-536)
+        agree = (
+            (F.size("a_pred_type") == 0)
+            | (F.size("b_pred_type") == 0)
+            | (F.size(F.array_intersect("a_pred_type", "b_pred_type")) > 0)
+        )
+        edge_cond = edge_cond & agree
+    edges = scored.where(edge_cond).select(
+        F.col("a_mention_key").alias("src"), F.col("b_mention_key").alias("dst")
+    )
+
+    clusters = connected_components(
+        edges,
+        vertices=mentions.select(F.col("mention_key").alias("node")),
+    ).select(F.col("node").alias("mention_key"), F.col("component").alias("entity_cluster"))
+
+    return {
+        "pages": extracted,
+        "mentions": mentions,
+        "pairs": scored,
+        "edges": edges,
+        "clusters": clusters,
+    }
+
+
+def evaluate_linkage(clusters: DataFrame, gold: DataFrame) -> DataFrame:
+    """Pairwise linkage P/R/F vs gold planted clusters (the acceptance
+    metric, coref_metrics.py:605-611)."""
+    gold_clusters = gold.select(
+        F.concat_ws("#", F.col("url"), F.col("start_offset").cast("string")).alias("mention"),
+        F.col("entity_id").alias("cluster"),
+    )
+    pred_clusters = clusters.select(
+        F.col("mention_key").alias("mention"), F.col("entity_cluster").alias("cluster")
+    )
+    return pairwise(gold_clusters, pred_clusters)
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Per-partition metrics table (rows per partition) — the batch
+    analogue of the reference's ServerStatistic
+    (.../server/__init__.py:605-673)."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("_pid").alias("partition_id"), "n_rows")
+    )

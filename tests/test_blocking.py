@@ -1,0 +1,68 @@
+"""Salted within-block pair generation: completeness & uniqueness.
+
+The classic silent failure mode is a salted hot block dropping (or
+duplicating) cross-cell pairs — SURVEY.md §7 "hard parts" #2.  We
+plant a hot key and compare against the exact n*(n-1)/2 enumeration.
+"""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from medtype_spark.operators.blocking import block_pairs
+
+
+def _expected_pairs(rows):
+    by_key = {}
+    for key, mid in rows:
+        by_key.setdefault(key, []).append(mid)
+    want = set()
+    for key, ids in by_key.items():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            want.add((key, a, b))
+    return want
+
+
+def _got_pairs(df):
+    return {
+        (r["block_key"], r["a_mention_key"], r["b_mention_key"])
+        for r in df.collect()
+    }
+
+
+def test_unsalted_small_blocks(spark):
+    rows = [("k1", f"a{i}") for i in range(5)] + [("k2", f"b{i}") for i in range(3)] + [("k3", "solo")]
+    df = spark.createDataFrame(rows, ["block_key", "mention_key"])
+    got = _got_pairs(block_pairs(df))
+    assert got == _expected_pairs(rows)
+
+
+def test_salted_hot_key_exact_cover(spark):
+    # hot key with 120 members, forced salting into ~12 cells
+    rows = [("hot", f"m{i:03d}") for i in range(120)] + [("cold", f"c{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["block_key", "mention_key"])
+    out = block_pairs(df, hot_threshold=50, target_cell=10)
+    got = _got_pairs(out)
+    want = _expected_pairs(rows)
+    assert got == want  # every unordered pair exactly once
+    # and no duplicates at all
+    assert out.count() == len(want)
+
+
+def test_max_block_drops_oversized(spark):
+    rows = [("big", f"m{i}") for i in range(30)] + [("ok", "a"), ("ok", "b")]
+    df = spark.createDataFrame(rows, ["block_key", "mention_key"])
+    out = block_pairs(df, max_block=10)
+    got = _got_pairs(out)
+    assert got == {("ok", "a", "b")}
+
+
+def test_extra_cols_carried_and_swapped(spark):
+    rows = [("k", "id2", "v2"), ("k", "id1", "v1")]
+    df = spark.createDataFrame(rows, ["block_key", "mention_key", "payload"])
+    out = block_pairs(df, extra_cols=["payload"], hot_threshold=1, target_cell=1)
+    res = out.collect()
+    assert len(res) == 1
+    r = res[0]
+    assert (r["a_mention_key"], r["a_payload"]) == ("id1", "v1")
+    assert (r["b_mention_key"], r["b_payload"]) == ("id2", "v2")

@@ -1,0 +1,72 @@
+"""End-to-end flagship pipeline: the acceptance metric on planted data.
+
+Gold clusters are the planted entity ids; the pipeline must recover
+them at pairwise F1 ≥ 0.99 (BASELINE.json metric), including with a
+planted hot surface form forcing the salted pair path, and results
+must be invariant to input partitioning (the sandbox stand-in for
+cluster-size invariance).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from medtype_spark.datagen.pages import (
+    build_lexicon,
+    entity_types_df,
+    synth_pages,
+)
+from medtype_spark.pipeline import evaluate_linkage, run_linkage
+
+N_PAGES = 300
+N_ENTITIES = 40
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages, gold = synth_pages(spark, N_PAGES, n_entities=N_ENTITIES, seed=42)
+    lex = build_lexicon(N_ENTITIES)
+    etypes = entity_types_df(spark, N_ENTITIES)
+    return pages.cache(), gold.cache(), lex, etypes
+
+
+def test_extraction_byte_identical(spark, corpus):
+    pages, _, _, _ = corpus
+    from medtype_spark.pipeline import extract_pages
+
+    mismatches = (
+        extract_pages(pages)
+        .where(F.col("extracted_text") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_gold_mentions_recovered(spark, corpus):
+    pages, gold, lex, _ = corpus
+    from medtype_spark.operators.mentions import detect_mentions
+    from medtype_spark.pipeline import extract_pages
+
+    mentions = detect_mentions(extract_pages(pages), lex, text_col="extracted_text")
+    # every planted span must be detected exactly
+    g = gold.select("url", "start_offset", "end_offset", "mention")
+    m = mentions.select("url", "start_offset", "end_offset", "mention")
+    missing = g.exceptAll(m).count()
+    assert missing == 0
+
+
+def test_flagship_f1(spark, corpus):
+    pages, gold, lex, etypes = corpus
+    result = run_linkage(pages, lex, etypes, hot_threshold=50, target_cell=25)
+    row = evaluate_linkage(result["clusters"], gold).collect()[0]
+    assert row["fscore"] >= 0.99, dict(row.asDict())
+
+
+def test_partitioning_invariance(spark, corpus):
+    """Same clusters regardless of parallelism — the determinism
+    prerequisite for the two-cluster-size scaling acceptance."""
+    pages, gold, lex, etypes = corpus
+    r1 = run_linkage(pages.repartition(2), lex, etypes)
+    r2 = run_linkage(pages.repartition(16), lex, etypes)
+    c1 = {(r["mention_key"], r["entity_cluster"]) for r in r1["clusters"].collect()}
+    c2 = {(r["mention_key"], r["entity_cluster"]) for r in r2["clusters"].collect()}
+    assert c1 == c2
