@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology mirrors the reference harness
+(medtype-as-service/server/medtype_serving/server/benchmark.py:26-31):
+a warm-up pass is run and discarded before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_cust_nation_stats",
+    "q08_token_topk",
+    "q10_interval_overlap_counts",
+    "q12_micro_macro",
+    "q14_exact_dedup",
+    "q15_minhash",
+    "q16_ngram_jaccard",
+    "q17_quality",
+    "q21_pairwise",
+    "q24_cosine_topk",
+    "q25_cc_chains",
+    "q43_flagship_linkage",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from medtype_spark.queries import QUERIES
+    from medtype_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (discarded, benchmark.py:30)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_suite_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

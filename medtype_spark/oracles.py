@@ -1,0 +1,421 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per query in
+medtype_spark.queries (omitted for iterative / engine-hash-specific
+queries, which get the driver's rows-only check).
+
+Doubles are rounded exactly as the Spark side rounds; every computed
+column carries the same alias.
+"""
+
+from __future__ import annotations
+
+from medtype_spark.textstats.quality import LANG_MARKERS, STOPWORDS
+
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q02_topk_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["q03_top_order_per_cust"] = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+ORACLES["q04_cust_nation_stats"] = """
+SELECT n_name,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(DISTINCT c_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLES["q05_order_fill_class"] = """
+WITH lk AS (SELECT DISTINCT l_orderkey FROM lineitem)
+SELECT CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 'both'
+            WHEN o_orderkey IS NOT NULL THEN 'order_only'
+            ELSE 'lineitem_only' END AS match_class,
+       count(*) AS n
+FROM orders FULL OUTER JOIN lk ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+ORACLES["q06_semi_join"] = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+ORACLES["q07_anti_join"] = """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+ORACLES["q08_token_topk"] = f"""
+SELECT token, n FROM (
+  SELECT token, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+  FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+  GROUP BY token
+) WHERE rn <= 20
+"""
+
+ORACLES["q10_interval_overlap_counts"] = """
+WITH e AS (SELECT user_id, event_id AS eid, ts AS s,
+                  ts + INTERVAL 5 MINUTE AS e FROM events)
+SELECT a.user_id, count(*) AS n_overlaps
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.eid < b.eid
+  AND b.s <= a.e AND b.e >= a.s
+GROUP BY a.user_id
+"""
+
+ORACLES["q11_sliding_stats"] = """
+WITH e AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT user_id, event_id,
+       sum(cents) OVER w AS sum_cents_200,
+       count(*) OVER w AS n_window
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q12_micro_macro"] = """
+WITH per_group AS (
+  SELECT l_linestatus,
+         sum(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN l_returnflag = 'R' AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS fn
+  FROM lineitem
+  GROUP BY l_linestatus
+  HAVING (tp + fp) > 0 OR (tp + fn) > 0
+), prf AS (
+  SELECT *,
+         CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END AS p,
+         CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END AS r
+  FROM per_group
+), prf2 AS (
+  SELECT *, CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f
+  FROM prf
+)
+SELECT 'micro' AS agg_mode, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+       round(CASE WHEN sum(tp) + sum(fp) = 0 THEN 0.0
+                  ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fp)) END, 6) AS precision,
+       round(CASE WHEN sum(tp) + sum(fn) = 0 THEN 0.0
+                  ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fn)) END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN sum(tp)+sum(fp)=0 THEN 0.0 ELSE sum(tp)::DOUBLE/(sum(tp)+sum(fp)) END
+                 + CASE WHEN sum(tp)+sum(fn)=0 THEN 0.0 ELSE sum(tp)::DOUBLE/(sum(tp)+sum(fn)) END) = 0
+                  THEN 0.0
+                  ELSE 2 * (CASE WHEN sum(tp)+sum(fp)=0 THEN 0.0 ELSE sum(tp)::DOUBLE/(sum(tp)+sum(fp)) END)
+                         * (CASE WHEN sum(tp)+sum(fn)=0 THEN 0.0 ELSE sum(tp)::DOUBLE/(sum(tp)+sum(fn)) END)
+                       / ((CASE WHEN sum(tp)+sum(fp)=0 THEN 0.0 ELSE sum(tp)::DOUBLE/(sum(tp)+sum(fp)) END)
+                        + (CASE WHEN sum(tp)+sum(fn)=0 THEN 0.0 ELSE sum(tp)::DOUBLE/(sum(tp)+sum(fn)) END)) END, 6) AS fscore
+FROM prf2
+UNION ALL
+SELECT 'macro', sum(tp), sum(fp), sum(fn),
+       round(avg(p), 6), round(avg(r), 6), round(avg(f), 6)
+FROM prf2
+"""
+
+ORACLES["q13_clean_text"] = """
+SELECT doc_id,
+       md5(replace(replace(replace(
+             regexp_replace(text, '[^[:ascii:]]', '?', 'g'),
+           chr(10), ' '), '|', ' '), chr(39), ' ')) AS clean_md5
+FROM documents
+"""
+
+ORACLES["q14_exact_dedup"] = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM documents
+"""
+
+_SHINGLES3 = f"""
+  toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    END) AS shingle
+      FROM toks
+    )
+  )
+"""
+
+ORACLES["q15_minhash"] = f"""
+WITH {_SHINGLES3},
+mins AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(0, 8)) AS h)
+  GROUP BY doc_id, h
+)
+SELECT doc_id, md5(string_agg(mh, '|' ORDER BY h)) AS sig_md5
+FROM mins GROUP BY doc_id
+"""
+
+ORACLES["q16_ngram_jaccard"] = f"""
+WITH {_SHINGLES3},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+"""
+
+ORACLES["q17_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE n_chars::DOUBLE / len(toks) END, 6) AS avg_token_len,
+       round(CASE WHEN n_chars = 0 THEN 0.0
+             ELSE (n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / n_chars END, 6) AS alpha_ratio,
+       round(CASE WHEN n_chars = 0 THEN 0.0
+             ELSE (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / n_chars END, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE len(list_filter(toks, t -> list_contains({_STOPLIST}, lower(t))))::DOUBLE / len(toks) END, 6) AS stopword_ratio
+FROM base
+"""
+
+
+def _lang_id_sql() -> str:
+    hit_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+        hit_cols.append(
+            f"len(list_filter(toks, t -> list_contains({markers}, lower(t)))) AS h_{lang}"
+        )
+    case_branches = "\n".join(
+        f"            WHEN h_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    greatest = ", ".join(f"h_{lang}" for lang in sorted(LANG_MARKERS))
+    return f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM base),
+g AS (SELECT *, greatest({greatest}) AS g FROM hits)
+SELECT doc_id,
+       CASE WHEN g = 0 THEN 'und'
+{case_branches}
+       END AS pred_lang
+FROM g
+"""
+
+
+ORACLES["q18_lang_id"] = _lang_id_sql()
+
+ORACLES["q19_fingerprint"] = """
+SELECT doc_id,
+       md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+ORACLES["q20_normalise_link"] = """
+SELECT doc_id,
+       replace(regexp_replace('en.wikipedia.org/wiki/' || source || ' page',
+                              '^en\\.wikipedia\\.org/wiki/', ''),
+               ' ', '_') AS norm_link
+FROM documents
+"""
+
+_CLUSTER_CTES = """
+t AS (SELECT vec_id AS m, label AS c FROM embeddings),
+p AS (SELECT vec_id AS m, CAST(vec_id % 7 AS INT) AS c FROM embeddings),
+inter AS (SELECT t.c AS tc, p.c AS pc, count(*) AS n
+          FROM t JOIN p USING (m) GROUP BY 1, 2),
+tsz AS (SELECT c, count(*) AS n_t FROM t GROUP BY c),
+psz AS (SELECT c, count(*) AS n_p FROM p GROUP BY c)
+"""
+
+_PRF_TAIL = """
+SELECT round(p_num, 6) AS p_num, round(p_den, 6) AS p_den,
+       round(r_num, 6) AS r_num, round(r_den, 6) AS r_den,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS fscore
+FROM (
+  SELECT *,
+         CASE WHEN p_den = 0 THEN 0.0 ELSE p_num / p_den END AS p,
+         CASE WHEN r_den = 0 THEN 0.0 ELSE r_num / r_den END AS r
+  FROM nums
+)
+"""
+
+ORACLES["q21_pairwise"] = f"""
+WITH {_CLUSTER_CTES},
+nums AS (
+  SELECT (SELECT coalesce(sum((n * (n - 1))::DOUBLE / 2), 0) FROM inter) AS p_num,
+         (SELECT coalesce(sum((n_p * (n_p - 1))::DOUBLE / 2), 0) FROM psz) AS p_den,
+         (SELECT coalesce(sum((n * (n - 1))::DOUBLE / 2), 0) FROM inter) AS r_num,
+         (SELECT coalesce(sum((n_t * (n_t - 1))::DOUBLE / 2), 0) FROM tsz) AS r_den
+)
+{_PRF_TAIL}
+"""
+
+ORACLES["q22_bcubed"] = f"""
+WITH {_CLUSTER_CTES},
+nums AS (
+  SELECT (SELECT coalesce(sum((n * n)::DOUBLE / n_p), 0)
+          FROM inter JOIN psz ON psz.c = inter.pc) AS p_num,
+         (SELECT count(*)::DOUBLE FROM p) AS p_den,
+         (SELECT coalesce(sum((n * n)::DOUBLE / n_t), 0)
+          FROM inter JOIN tsz ON tsz.c = inter.tc) AS r_num,
+         (SELECT count(*)::DOUBLE FROM t) AS r_den
+)
+{_PRF_TAIL}
+"""
+
+ORACLES["q23_muc"] = f"""
+WITH {_CLUSTER_CTES},
+pv AS (  -- vilain(pred, true_mapping)
+  SELECT coalesce(sum(n - unaligned - parts), 0)::DOUBLE AS num,
+         coalesce(sum(n - 1), 0)::DOUBLE AS den
+  FROM (
+    SELECT p.c, count(*) AS n,
+           count(DISTINCT t.c) AS parts,
+           sum(CASE WHEN t.c IS NULL THEN 1 ELSE 0 END) AS unaligned
+    FROM p LEFT JOIN t USING (m) GROUP BY p.c
+  )
+),
+rv AS (  -- vilain(true, pred_mapping)
+  SELECT coalesce(sum(n - unaligned - parts), 0)::DOUBLE AS num,
+         coalesce(sum(n - 1), 0)::DOUBLE AS den
+  FROM (
+    SELECT t.c, count(*) AS n,
+           count(DISTINCT p.c) AS parts,
+           sum(CASE WHEN p.c IS NULL THEN 1 ELSE 0 END) AS unaligned
+    FROM t LEFT JOIN p USING (m) GROUP BY t.c
+  )
+),
+nums AS (
+  SELECT pv.num AS p_num, pv.den AS p_den, rv.num AS r_num, rv.den AS r_den
+  FROM pv, rv
+)
+{_PRF_TAIL}
+"""
+
+ORACLES["q24_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT query_id, vec_id,
+             list_cosine_similarity(qe, embedding) AS cos
+      FROM q, embeddings WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, rank, vec_id FROM r WHERE rank <= 5
+"""
+
+ORACLES["q25_cc_chains"] = """
+SELECT vec_id AS node, vec_id - (vec_id % 10) AS component
+FROM embeddings
+"""
+
+ORACLES["q26_salted_pair_counts"] = """
+SELECT lang AS block_key,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+FROM documents
+GROUP BY lang
+HAVING count(*) > 1
+"""
+
+ORACLES["q27_interval_score_max"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         event_id % 1000 AS s,
+         event_id % 1000 + (CAST(floor(value) AS BIGINT) % 50) AS en
+  FROM events
+),
+matched AS (
+  SELECT l.event_id AS ref_id, l.s AS ls, l.en AS le, r.s AS rs, r.en AS re
+  FROM e l JOIN e r ON l.user_id = r.user_id AND l.event_id <> r.event_id
+  WHERE l.event_type = 'error' AND r.s <= l.en AND r.en >= l.s
+)
+SELECT ref_id,
+       round(max(greatest(least(le, re) - greatest(ls, rs) + 1, 0)::DOUBLE
+                 / (le - ls + 1)), 6) AS overlap
+FROM matched GROUP BY ref_id
+"""
+
+ORACLES["q28_first_mention"] = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+ORACLES["q29_multi_id_match"] = """
+WITH gold(docid, s, e, eid) AS (VALUES
+  ('d1', 0, 5, 'E1|E2'), ('d1', 10, 15, 'E3'), ('d2', 0, 5, 'E4|E5|E6'),
+  ('d2', 8, 12, 'E7'), ('d3', 1, 4, 'E8')),
+sys(docid, s, e, eid) AS (VALUES
+  ('d1', 0, 5, 'E2'), ('d1', 10, 15, 'E9'), ('d2', 0, 5, 'E5'),
+  ('d2', 8, 12, 'E7'), ('d3', 2, 4, 'E8')),
+g AS (SELECT docid, s, e, eid AS orig_eid,
+             unnest(string_split(eid, '|')) AS eid1
+      FROM gold),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM (
+       SELECT DISTINCT docid, s, e, orig_eid FROM g
+       WHERE EXISTS (SELECT 1 FROM sys
+                     WHERE sys.docid = g.docid AND sys.s = g.s
+                       AND sys.e = g.e AND sys.eid = g.eid1))) AS tp,
+    (SELECT count(*) FROM gold) AS n_gold,
+    (SELECT count(*) FROM sys) AS n_sys
+)
+SELECT tp, n_sys - tp AS fp, n_gold - tp AS fn,
+       round(CASE WHEN n_sys = 0 THEN 0.0 ELSE tp::DOUBLE / n_sys END, 6) AS precision,
+       round(CASE WHEN n_gold = 0 THEN 0.0 ELSE tp::DOUBLE / n_gold END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN n_sys = 0 THEN 0.0 ELSE tp::DOUBLE / n_sys END)
+                     + (CASE WHEN n_gold = 0 THEN 0.0 ELSE tp::DOUBLE / n_gold END) = 0 THEN 0.0
+             ELSE 2 * (tp::DOUBLE / n_sys) * (tp::DOUBLE / n_gold)
+                  / ((tp::DOUBLE / n_sys) + (tp::DOUBLE / n_gold)) END, 6) AS fscore
+FROM counts
+"""

@@ -1,0 +1,501 @@
+"""Named, oracle-checkable queries over the driver testdata.
+
+Each entry pairs a Spark DataFrame implementation (built on the
+medtype_spark operator library) with an equivalent DuckDB SQL string
+(see ``ORACLES``).  The driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- every double is rounded (6 dp; money 2 dp) on both sides to absorb
+  float summation-order differences;
+- no query depends on wall-clock, session time zone, or partitioning.
+
+Query numbering groups: q0x relational core, q1x text/dedup, q2x
+similarity/clustering-metrics, q3x linkage-specific operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from medtype_spark.dedup.exact import exact_dedup
+from medtype_spark.dedup.minhash import (
+    doc_shingles,
+    jaccard_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from medtype_spark.functions.text import clean_text_udf, normalise_link_col
+from medtype_spark.metrics.clustering import b_cubed, muc, pairwise
+from medtype_spark.metrics.matrix import contingency_prf, micro_macro
+from medtype_spark.operators.blocking import block_pairs
+from medtype_spark.operators.cc import connected_components
+from medtype_spark.operators.intervals import interval_join, overlap_score_max
+from medtype_spark.operators.topk import mark_first_mention, topk_by
+from medtype_spark.similarity.knn import brute_force_topk, lsh_topk
+from medtype_spark.textstats.quality import (
+    STOPWORDS,
+    predict_lang,
+    quality_features,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(col):
+    return F.round(col, 6)
+
+
+# ----------------------------------------------------------------------
+# q0x — relational core (scans, joins, aggs, windows)
+# ----------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: partial-agg friendly groupBy (A1/A2/A3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_topk_orders(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject — no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return topk_by(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+def q03_top_order_per_cust(spark, sf_dir):
+    """W1 analogue: best row per key via row_number window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q04_cust_nation_stats(spark, sf_dir):
+    """Broadcast dim join + two-level agg (J1/J2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+def q05_order_fill_class(spark, sf_dir):
+    """Full-outer classification (J4/J13): orders vs lineitem keys."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    lk = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey")).distinct()
+    joined = o.join(lk, o["o_orderkey"] == lk["l_orderkey"], "full_outer")
+    cls = (
+        F.when(F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull(), "both")
+        .when(F.col("o_orderkey").isNotNull(), "order_only")
+        .otherwise("lineitem_only")
+    )
+    return joined.select(cls.alias("match_class")).groupBy("match_class").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q06_semi_join(spark, sf_dir):
+    """Existential semi-join (J3): customers with a filled order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q07_anti_join(spark, sf_dir):
+    """Anti-join (set-except analogue): orders with no lineitems."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+def q08_token_topk(spark, sf_dir):
+    """Explode + count + deterministic top-k (P7 + top-k)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return topk_by(counts, [F.desc("n"), F.asc("token")], 20)
+
+
+def q10_interval_overlap_counts(spark, sf_dir):
+    """J6 interval join banded by user: overlapping 5-min windows."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    left = e.select("user_id", F.col("eid").alias("a"), F.col("s").alias("start"), F.col("e").alias("end"))
+    right = e.select("user_id", F.col("eid").alias("b"), F.col("s").alias("start"), F.col("e").alias("end"))
+    pairs = interval_join(left, right, band_key="user_id").where(
+        F.col("a") < F.col("b_r")
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+def q11_sliding_stats(spark, sf_dir):
+    """W6: last-200-rows sliding stats per user (ServerStatistic
+    analogue, .../server/__init__.py:629-633).
+
+    Aggregates exact integer cents: window-function association order
+    differs between engines, so float sums are not reproducible, but
+    integer sums are."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-199, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).alias("sum_cents_200"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+def q12_micro_macro(spark, sf_dir):
+    """A3: grouped contingency eval + micro/macro lattice."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # the 4-part key is.
+    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    keyed = li.select(*keys, "l_linestatus", "l_returnflag", "l_discount")
+    gold = keyed.where(F.col("l_returnflag") == "R").select(*keys, "l_linestatus")
+    system = keyed.where(F.col("l_discount") > 0.05).select(*keys, "l_linestatus")
+    per_group = contingency_prf(gold, system, keys=keys, group_by=["l_linestatus"])
+    out = micro_macro(per_group, ["l_linestatus"])
+    return out.select(
+        "agg_mode", "tp", "fp", "fn",
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("fscore")).alias("fscore"),
+    )
+
+
+# ----------------------------------------------------------------------
+# q1x — text normalization / dedup / text stats
+# ----------------------------------------------------------------------
+
+def q13_clean_text(spark, sf_dir):
+    """P1 clean_text, digest form (byte-identical invariant)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(clean_text_udf(F.col("text"))).alias("clean_md5"))
+
+
+def q14_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select(
+        "doc_id", "canonical_id", "group_size"
+    )
+
+
+def q15_minhash(spark, sf_dir):
+    """MinHash signature digest (md5 hash family, portable)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    return sig.select("doc_id", F.md5(F.concat_ws("|", "sig")).alias("sig_md5"))
+
+
+def q16_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over shingle-sharing candidate pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id", n=3)
+    cands = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+    return jaccard_pairs(sh, cands, "doc_id", min_jaccard=0.1).select(
+        "a", "b", _r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def q17_quality(spark, sf_dir):
+    q = quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return q.select(
+        "doc_id", "n_chars", "n_tokens", "n_bpe_tokens",
+        _r6(F.col("avg_token_len")).alias("avg_token_len"),
+        _r6(F.col("alpha_ratio")).alias("alpha_ratio"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+    )
+
+
+def q18_lang_id(spark, sf_dir):
+    return predict_lang(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q19_fingerprint(spark, sf_dir):
+    from medtype_spark.textstats.quality import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q20_normalise_link(spark, sf_dir):
+    """P5: wikipedia link normalization over a derived URL column."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("en.wikipedia.org/wiki/"), F.col("source"), F.lit(" page"))
+    return d.select("doc_id", normalise_link_col(url).alias("norm_link"))
+
+
+# ----------------------------------------------------------------------
+# q2x — clustering metrics / similarity / CC
+# ----------------------------------------------------------------------
+
+def _clusterings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    true = emb.select(F.col("vec_id").alias("mention"), F.col("label").alias("cluster"))
+    pred = emb.select(
+        F.col("vec_id").alias("mention"), (F.col("vec_id") % 7).cast("int").alias("cluster")
+    )
+    return true, pred
+
+
+def _metric_out(df):
+    return df.select(
+        _r6(F.col("p_num")).alias("p_num"),
+        _r6(F.col("p_den")).alias("p_den"),
+        _r6(F.col("r_num")).alias("r_num"),
+        _r6(F.col("r_den")).alias("r_den"),
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("fscore")).alias("fscore"),
+    )
+
+
+def q21_pairwise(spark, sf_dir):
+    """A5 — THE acceptance metric (coref_metrics.py:605-611)."""
+    true, pred = _clusterings(spark, sf_dir)
+    return _metric_out(pairwise(true, pred))
+
+
+def q22_bcubed(spark, sf_dir):
+    true, pred = _clusterings(spark, sf_dir)
+    return _metric_out(b_cubed(true, pred))
+
+
+def q23_muc(spark, sf_dir):
+    true, pred = _clusterings(spark, sf_dir)
+    return _metric_out(muc(true, pred))
+
+
+def q24_cosine_topk(spark, sf_dir):
+    """Brute-force ANN baseline: top-5 cosine neighbours of 10 queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "rank", "vec_id")
+
+
+def q25_cc_chains(spark, sf_dir):
+    """Connected components on planted chain graphs (CC worst case)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    edges = emb.where(F.col("vec_id") % 10 != 9).select(
+        F.col("vec_id").alias("src"), (F.col("vec_id") + 1).alias("dst")
+    )
+    return connected_components(
+        edges, vertices=emb.select(F.col("vec_id").alias("node"))
+    ).select("node", "component")
+
+
+def q26_salted_pair_counts(spark, sf_dir):
+    """Salted block pair generation — count parity with n*(n-1)/2."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("block_key"), F.col("doc_id").alias("mention_key")
+    )
+    pairs = block_pairs(d, hot_threshold=50, target_cell=20)
+    return pairs.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q27_interval_score_max(spark, sf_dir):
+    """J7 'max' overlap scoring on integer spans derived from events."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 1000).alias("start"),
+        (F.col("event_id") % 1000 + (F.col("value").cast("long") % 50)).alias("end"),
+    )
+    left = e.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("ref_id"), "start", "end"
+    )
+    right = e.select("user_id", F.col("event_id").alias("sys_id"), "start", "end")
+    matched = interval_join(left, right, band_key="user_id").where(
+        F.col("ref_id") != F.col("sys_id_r")
+    )
+    scored = overlap_score_max(matched, ["ref_id"])
+    return scored.select("ref_id", _r6(F.col("overlap")).alias("overlap"))
+
+
+def q28_first_mention(spark, sf_dir):
+    """W3 is_first: first event per (user, type) in time order."""
+    e = _t(spark, sf_dir, "events")
+    marked = mark_first_mention(
+        e, doc_col="user_id", eid_col="event_type", start_col="ts", end_col="event_id"
+    )
+    return marked.where(F.col("is_first")).select("user_id", "event_type", "event_id")
+
+
+def q29_multi_id_match(spark, sf_dir):
+    """J3 multi-valued OR-join + A1 contingency on an inline fixture.
+
+    Gold ids are |-delimited (annotation.py:326-342 semantics: any
+    split id matching counts the gold row once).
+    """
+    gold = spark.createDataFrame(
+        [
+            ("d1", 0, 5, "E1|E2"),
+            ("d1", 10, 15, "E3"),
+            ("d2", 0, 5, "E4|E5|E6"),
+            ("d2", 8, 12, "E7"),
+            ("d3", 1, 4, "E8"),
+        ],
+        ["docid", "start", "end", "eid"],
+    )
+    system = spark.createDataFrame(
+        [
+            ("d1", 0, 5, "E2"),
+            ("d1", 10, 15, "E9"),
+            ("d2", 0, 5, "E5"),
+            ("d2", 8, 12, "E7"),
+            ("d3", 2, 4, "E8"),
+        ],
+        ["docid", "start", "end", "eid"],
+    )
+    out = contingency_prf(
+        gold, system, keys=["docid", "start", "end", "eid"], gold_multi_col="eid"
+    )
+    return out.select(
+        "tp", "fp", "fn",
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("fscore")).alias("fscore"),
+    )
+
+
+# ----------------------------------------------------------------------
+# rows-only queries (no SQL oracle: iterative / hash-specific / stubbed)
+# ----------------------------------------------------------------------
+
+def q40_simhash(spark, sf_dir):
+    """SimHash (xxhash64-based — not reproducible in DuckDB)."""
+    return simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q41_lsh_topk(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
+def q42_stub_type_scorer(spark, sf_dir):
+    """Batched pandas-UDF type scoring (deterministic stub model)."""
+    from medtype_spark.functions.scoring import stub_type_scorer_udf
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", stub_type_scorer_udf(F.col("text")).alias("pred_types")
+    )
+    return scored.select(
+        "doc_id", F.size("pred_types").alias("n_types"),
+        F.md5(F.concat_ws("|", "pred_types")).alias("types_md5"),
+    )
+
+
+def q43_flagship_linkage(spark, sf_dir):
+    """Flagship ER pipeline on deterministic synthetic pages (the
+    BASELINE input_hint table) — pairwise F1 row vs planted gold."""
+    from medtype_spark.datagen.pages import build_lexicon, entity_types_df, synth_pages
+    from medtype_spark.pipeline import evaluate_linkage, run_linkage
+
+    pages, gold = synth_pages(spark, 200, n_entities=30, seed=42)
+    lex = build_lexicon(30)
+    etypes = entity_types_df(spark, 30)
+    result = run_linkage(pages, lex, etypes, hot_threshold=50, target_cell=25)
+    return _metric_out(evaluate_linkage(result["clusters"], gold))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_topk_orders": q02_topk_orders,
+    "q03_top_order_per_cust": q03_top_order_per_cust,
+    "q04_cust_nation_stats": q04_cust_nation_stats,
+    "q05_order_fill_class": q05_order_fill_class,
+    "q06_semi_join": q06_semi_join,
+    "q07_anti_join": q07_anti_join,
+    "q08_token_topk": q08_token_topk,
+    "q10_interval_overlap_counts": q10_interval_overlap_counts,
+    "q11_sliding_stats": q11_sliding_stats,
+    "q12_micro_macro": q12_micro_macro,
+    "q13_clean_text": q13_clean_text,
+    "q14_exact_dedup": q14_exact_dedup,
+    "q15_minhash": q15_minhash,
+    "q16_ngram_jaccard": q16_ngram_jaccard,
+    "q17_quality": q17_quality,
+    "q18_lang_id": q18_lang_id,
+    "q19_fingerprint": q19_fingerprint,
+    "q20_normalise_link": q20_normalise_link,
+    "q21_pairwise": q21_pairwise,
+    "q22_bcubed": q22_bcubed,
+    "q23_muc": q23_muc,
+    "q24_cosine_topk": q24_cosine_topk,
+    "q25_cc_chains": q25_cc_chains,
+    "q26_salted_pair_counts": q26_salted_pair_counts,
+    "q27_interval_score_max": q27_interval_score_max,
+    "q28_first_mention": q28_first_mention,
+    "q29_multi_id_match": q29_multi_id_match,
+    "q40_simhash": q40_simhash,
+    "q41_lsh_topk": q41_lsh_topk,
+    "q42_stub_type_scorer": q42_stub_type_scorer,
+    "q43_flagship_linkage": q43_flagship_linkage,
+}
