@@ -90,7 +90,7 @@ def run_linkage(
     pages: DataFrame,
     lexicon: pd.DataFrame,
     entity_types: DataFrame,
-    score_threshold: float = 0.95,
+    score_threshold: float = 0.92,
     hot_threshold: int = 10000,
     target_cell: int = 2000,
     require_type_agreement: bool = True,
