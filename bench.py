@@ -54,6 +54,7 @@ def main():
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm-up, discarded (benchmark.py:30)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

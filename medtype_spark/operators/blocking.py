@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from medtype_spark.functions.text import clean_text_udf
 
@@ -52,6 +53,7 @@ def block_pairs(
     target_cell: int = 2000,
     max_block: int | None = None,
     extra_cols: list[str] | None = None,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """All unordered within-block pairs, salted for hot keys.
 
@@ -62,7 +64,12 @@ def block_pairs(
     """
     extra_cols = extra_cols or []
     cols = [key_col, id_col, *extra_cols]
-    base = df.select(*cols)
+    # The salted table is consumed three times (size pre-pass + both
+    # join sides); persist it so upstream stages (UDF scans, joins) run
+    # once.  MEMORY_AND_DISK: spills instead of OOM at scale.
+    base = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_registry is not None:
+        persist_registry.append(base)
 
     counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("_bsize"))
     if max_block is not None:

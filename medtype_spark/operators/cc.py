@@ -41,12 +41,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least("mv", "u").alias("m")
     )
+    # no distinct here: duplicates survive one hop into small_star's
+    # groupBy (which dedups implicitly) — saves a shuffle per round
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -105,7 +106,9 @@ def connected_components(
 
     prev_fp = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the fingerprint aggregate materializes it,
+        # so each round costs one job instead of two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = _fingerprint(e)
         if fp == prev_fp:
             break

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
+from pyspark.storagelevel import StorageLevel
 
 from medtype_spark.datagen.pages import build_lexicon
 from medtype_spark.metrics.clustering import pairwise
@@ -94,6 +95,7 @@ def run_linkage(
     hot_threshold: int = 10000,
     target_cell: int = 2000,
     require_type_agreement: bool = True,
+    cleanup: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the flagship pipeline; returns the per-stage DataFrames."""
     spark = pages.sparkSession
@@ -121,8 +123,13 @@ def run_linkage(
     )
     mentions = mentions.withColumn("pred_type", scorer(F.col("norm_form")))
     mentions = filter_candidates(mentions, entity_types)
+    # mention table feeds pair generation (3 consumers), CC vertices,
+    # and the returned stage output — persist so the page-scan +
+    # mapInPandas + UDF lineage executes exactly once
+    mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
 
     # salted within-block pairs + Jaro-Winkler scoring
+    persisted: list[DataFrame] = [mentions]
     pairs = block_pairs(
         mentions,
         key_col="block_key",
@@ -130,6 +137,7 @@ def run_linkage(
         hot_threshold=hot_threshold,
         target_cell=target_cell,
         extra_cols=["norm_form", "pred_type"],
+        persist_registry=persisted,
     )
     scored = pairs.withColumn(
         "score", F.round(jaro_winkler_udf(F.col("a_norm_form"), F.col("b_norm_form")), 3)
@@ -147,12 +155,22 @@ def run_linkage(
         edge_cond = edge_cond & agree
     edges = scored.where(edge_cond).select(
         F.col("a_mention_key").alias("src"), F.col("b_mention_key").alias("dst")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    persisted.append(edges)
 
     clusters = connected_components(
         edges,
         vertices=mentions.select(F.col("mention_key").alias("node")),
     ).select(F.col("node").alias("mention_key"), F.col("component").alias("entity_cluster"))
+
+    if cleanup:
+        # materialize the product, then release every cached
+        # intermediate so repeated runs (bench loops) don't accumulate
+        # block-manager state and GC pressure
+        clusters = clusters.localCheckpoint()
+        for df in persisted:
+            df.unpersist()
 
     return {
         "pages": extracted,

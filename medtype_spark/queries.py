@@ -458,10 +458,10 @@ def q43_flagship_linkage(spark, sf_dir):
     from medtype_spark.datagen.pages import build_lexicon, entity_types_df, synth_pages
     from medtype_spark.pipeline import evaluate_linkage, run_linkage
 
-    pages, gold = synth_pages(spark, 200, n_entities=30, seed=42)
-    lex = build_lexicon(30)
-    etypes = entity_types_df(spark, 30)
-    result = run_linkage(pages, lex, etypes, hot_threshold=50, target_cell=25)
+    pages, gold = synth_pages(spark, 2000, n_entities=60, seed=42)
+    lex = build_lexicon(60)
+    etypes = entity_types_df(spark, 60)
+    result = run_linkage(pages, lex, etypes, hot_threshold=500, target_cell=200, cleanup=True)
     return _metric_out(evaluate_linkage(result["clusters"], gold))
 
 

@@ -53,8 +53,28 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 routes lower()/upper() through ICU
+        # (CollationAwareUTF8String); its static init under 32-way task
+        # contention serializes ALL tasks behind a ~60s class-init lock
+        # (observed via jstack).  JVM case mapping is sufficient here.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        # Spark 4.1's unix-domain-socket Python workers stall ~40-60s
+        # per task when a pandas-UDF plan is materialized into the
+        # block cache (persist/localCheckpoint) — the runner socket is
+        # not drained/closed until a timeout.  TCP workers are fine.
+        # (Diagnosed via jstack: tasks parked in EPoll.wait reading
+        # PythonArrowOutput after all rows were produced.)
+        .config("spark.python.unix.domain.socket.enabled", "false")
+        # With TCP workers, the worker-creation auth handshake parks in
+        # a 15s accept-wait (twice) per python runner under this
+        # sandbox's network stack; the handshake itself is instant.
+        .config("spark.python.authenticate.socketTimeout", "2s")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Warm the collation/codegen path once, uncontended, so the first
+    # real stage doesn't pay the class-init convoy.
+    spark.sql("select lower('Äb'), upper('ß')").collect()
+    return spark
 
 
 TABLES = (

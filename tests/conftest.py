@@ -11,6 +11,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        .config("spark.python.unix.domain.socket.enabled", "false")
+        .config("spark.python.authenticate.socketTimeout", "2s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .getOrCreate()

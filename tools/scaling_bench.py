@@ -48,7 +48,7 @@ n = pages.count()  # materialize input before timing
 times = []
 for rep in range(repeats + 1):  # +1 warm-up, discarded
     t0 = time.perf_counter()
-    result = run_linkage(pages, lex, etypes)
+    result = run_linkage(pages, lex, etypes, cleanup=True)
     n_clusters = result["clusters"].count()
     dt = time.perf_counter() - t0
     if rep > 0:
