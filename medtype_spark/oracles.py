@@ -419,3 +419,69 @@ SELECT tp, n_sys - tp AS fp, n_gold - tp AS fn,
                   / ((tp::DOUBLE / n_sys) + (tp::DOUBLE / n_gold)) END, 6) AS fscore
 FROM counts
 """
+
+ORACLES["q30_error_labels"] = """
+WITH gold(docid, s, eid) AS (VALUES
+  ('d', 0, 'E1'), ('d', 2, 'E1'), ('d', 4, 'E1'),
+  ('d', 8, 'NIL1'), ('d', 10, 'E5'), ('d', 12, 'NIL2')),
+sys(docid, s, eid) AS (VALUES
+  ('d', 0, 'E1'), ('d', 2, 'E2'), ('d', 6, 'E3'),
+  ('d', 8, 'E4'), ('d', 10, 'NIL9'), ('d', 12, 'NIL3')),
+j AS (SELECT coalesce(g.docid, y.docid) docid,
+             g.eid AS geid, y.eid AS seid
+      FROM gold g FULL OUTER JOIN sys y ON g.docid = y.docid AND g.s = y.s),
+lab AS (
+  SELECT CASE
+    WHEN seid IS NULL AND geid IS NOT NULL THEN 'missing'
+    WHEN geid IS NULL AND seid IS NOT NULL THEN 'extra'
+    WHEN (geid IS NULL OR geid LIKE 'NIL%') AND (seid IS NULL OR seid LIKE 'NIL%') THEN 'correct-nil'
+    WHEN (geid IS NULL OR geid LIKE 'NIL%') THEN 'nil-as-link'
+    WHEN (seid IS NULL OR seid LIKE 'NIL%') THEN 'link-as-nil'
+    WHEN geid = seid THEN 'correct-link'
+    ELSE 'wrong-link' END AS label
+  FROM j)
+SELECT label, count(*) AS n FROM lab GROUP BY label
+"""
+
+ORACLES["q31_weak_projection"] = """
+WITH spans AS (
+  SELECT CAST(user_id AS VARCHAR) AS docid,
+         event_id % 100 AS s,
+         event_id % 100 + CAST(floor(value) AS BIGINT) % 5 AS e
+  FROM events WHERE user_id < 10
+),
+chars AS (
+  SELECT docid, unnest(range(s, e + 1)) AS start FROM spans
+)
+SELECT docid, start, count(*) AS n FROM chars GROUP BY docid, start
+"""
+
+ORACLES["q32_split_partials"] = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS job_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+parts AS (
+  SELECT job_id,
+         CAST(ceil(len(t) / 4.0) AS INT) AS n_partials,
+         unnest(range(0, CAST(ceil(len(t) / 4.0) AS INT))) AS partial_id,
+         t
+  FROM d
+)
+SELECT job_id, partial_id, n_partials,
+       len(t[partial_id * 4 + 1 : partial_id * 4 + 4]) AS n_items,
+       array_to_string(t[partial_id * 4 + 1 : partial_id * 4 + 4], ' ') AS items_str
+FROM parts
+"""
+
+ORACLES["q33_reassemble"] = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS job_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT job_id, array_to_string(t, ' ') AS text_rt,
+       CAST(ceil(len(t) / 4.0) AS BIGINT) AS collected
+FROM d
+"""

@@ -499,3 +499,105 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_stub_type_scorer": q42_stub_type_scorer,
     "q43_flagship_linkage": q43_flagship_linkage,
 }
+
+
+# ----------------------------------------------------------------------
+# q3x — evaluation / serving operators (added with evaluation module)
+# ----------------------------------------------------------------------
+
+_ANN_SCHEMA = (
+    "docid:string, start:long, end:long, "
+    "candidates:array<struct<eid:string,score:double,type:string>>"
+)
+
+
+def _fixture_gold_sys(spark):
+    gold = spark.createDataFrame(
+        [
+            ("d", 0, 1, [("E1", 1.0, "O")]),
+            ("d", 2, 3, [("E1", 1.0, "O")]),
+            ("d", 4, 5, [("E1", 1.0, "O")]),
+            ("d", 8, 9, [("NIL1", 1.0, "O")]),
+            ("d", 10, 11, [("E5", 1.0, "O")]),
+            ("d", 12, 13, [("NIL2", 1.0, "O")]),
+        ],
+        _ANN_SCHEMA,
+    )
+    system = spark.createDataFrame(
+        [
+            ("d", 0, 1, [("E1", 0.9, "O")]),
+            ("d", 2, 3, [("E2", 0.9, "O")]),
+            ("d", 6, 7, [("E3", 0.9, "O")]),
+            ("d", 8, 9, [("E4", 0.9, "O")]),
+            ("d", 10, 11, [("NIL9", 0.9, "O")]),
+            ("d", 12, 13, [("NIL3", 0.9, "O")]),
+        ],
+        _ANN_SCHEMA,
+    )
+    return gold, system
+
+
+def q30_error_labels(spark, sf_dir):
+    """J14 + A11: error classification + most_common summary
+    (analyze.py:16-31, 75-78) on an inline fixture."""
+    from medtype_spark.evaluation.annotations import classify_errors, error_summary
+
+    gold, system = _fixture_gold_sys(spark)
+    return error_summary(classify_errors(gold, system))
+
+
+def q31_weak_projection(spark, sf_dir):
+    """P10: char-level 'weak' projection (neleval/weak.py:17-21) over
+    integer spans derived from events."""
+    from medtype_spark.evaluation.annotations import weak_projection
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 10).select(
+        F.col("user_id").cast("string").alias("docid"),
+        (F.col("event_id") % 100).alias("start"),
+        (F.col("event_id") % 100 + F.floor("value").cast("long") % 5).alias("end"),
+        F.array(F.struct(
+            F.col("event_type").alias("eid"),
+            F.col("value").alias("score"),
+            F.lit("O").alias("type"),
+        )).alias("candidates"),
+    )
+    out = weak_projection(e)
+    return out.groupBy("docid", "start").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q32_split_partials(spark, sf_dir):
+    """Ventilator micro-batch split (.../server/__init__.py:212-218)
+    applied to token lists from documents."""
+    from medtype_spark.streaming.serving import split_into_partials
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("job_id"),
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "").alias("texts"),
+    )
+    parts = split_into_partials(d, max_batch_size=4)
+    return parts.select(
+        "job_id", "partial_id", "n_partials", F.size("items").alias("n_items"),
+        F.concat_ws(" ", "items").alias("items_str"),
+    )
+
+
+def q33_reassemble(spark, sf_dir):
+    """Sink reassembly with ordered insert + checksum
+    (.../server/__init__.py:353-393): round-trips q32's partials."""
+    from medtype_spark.streaming.serving import reassemble_jobs, split_into_partials
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("job_id"),
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "").alias("texts"),
+    )
+    parts = split_into_partials(d, max_batch_size=4).withColumnRenamed("items", "results")
+    out = reassemble_jobs(parts)
+    return out.select("job_id", F.concat_ws(" ", "results").alias("text_rt"), "collected")
+
+
+QUERIES.update({
+    "q30_error_labels": q30_error_labels,
+    "q31_weak_projection": q31_weak_projection,
+    "q32_split_partials": q32_split_partials,
+    "q33_reassemble": q33_reassemble,
+})

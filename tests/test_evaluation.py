@@ -1,0 +1,149 @@
+"""Annotation TSV grammar, weak projection, error labels,
+SelectAlternatives back-off, streaming reassembly, significance."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from medtype_spark.evaluation.annotations import (
+    classify_errors,
+    error_summary,
+    read_annotation_tsv,
+    weak_projection,
+)
+from medtype_spark.evaluation.prepare import select_alternatives
+from medtype_spark.streaming.serving import reassemble_jobs, split_into_partials
+
+ANN = "docid:string, start:long, end:long, candidates:array<struct<eid:string,score:double,type:string>>"
+
+
+def _ann(spark, rows):
+    return spark.createDataFrame(rows, ANN)
+
+
+def test_annotation_tsv_grammar(spark, tmp_path):
+    p = tmp_path / "ann.tsv"
+    p.write_text(
+        "d1\t0\t5\tE1\n"                      # id only
+        "d1\t7\t9\tE2\t0.8\n"                 # id + score
+        "d2\t0\t3\tE3\t0.5\tTY1\tE4\t0.9\tTY2\n"  # 3n candidates, sorted desc on parse
+        "d3\t1\t2\n"                          # no candidates
+    )
+    got = {
+        (r["docid"], r["start"], r["end"]): [(c["eid"], c["score"], c["type"]) for c in r["candidates"]]
+        for r in read_annotation_tsv(spark, str(p)).collect()
+    }
+    assert got[("d1", 0, 5)] == [("E1", 1.0, None)]
+    assert got[("d1", 7, 9)] == [("E2", 0.8, None)]
+    # best-first sort on parse (annotation.py:108)
+    assert got[("d2", 0, 3)] == [("E4", 0.9, "TY2"), ("E3", 0.5, "TY1")]
+    assert got[("d3", 1, 2)] == []
+
+
+def test_weak_projection(spark):
+    ann = _ann(spark, [("d1", 2, 4, [("E1", 1.0, "O")])])
+    rows = weak_projection(ann).collect()
+    assert sorted(r["start"] for r in rows) == [2, 3, 4]
+    assert all(r["start"] == r["end"] for r in rows)
+
+
+def test_error_labels(spark):
+    gold = _ann(spark, [
+        ("d", 0, 1, [("E1", 1.0, "O")]),    # correct-link
+        ("d", 2, 3, [("E1", 1.0, "O")]),    # wrong-link
+        ("d", 4, 5, [("E1", 1.0, "O")]),    # missing
+        ("d", 8, 9, [("NIL1", 1.0, "O")]),  # nil-as-link
+        ("d", 10, 11, [("E5", 1.0, "O")]),  # link-as-nil
+        ("d", 12, 13, [("NIL2", 1.0, "O")]),  # correct-nil
+    ])
+    system = _ann(spark, [
+        ("d", 0, 1, [("E1", 0.9, "O")]),
+        ("d", 2, 3, [("E2", 0.9, "O")]),
+        ("d", 6, 7, [("E3", 0.9, "O")]),    # extra
+        ("d", 8, 9, [("E4", 0.9, "O")]),
+        ("d", 10, 11, [("NIL9", 0.9, "O")]),
+        ("d", 12, 13, [("NIL3", 0.9, "O")]),
+    ])
+    got = {(r["start"]): r["label"] for r in classify_errors(gold, system).collect()}
+    assert got == {0: "correct-link", 2: "wrong-link", 4: "missing",
+                   6: "extra", 8: "nil-as-link", 10: "link-as-nil",
+                   12: "correct-nil"}
+    summary = {r["label"]: r["n"] for r in error_summary(classify_errors(gold, system)).collect()}
+    assert summary["correct-link"] == 1 and summary["extra"] == 1
+
+
+def test_select_alternatives_backoff(spark):
+    gold = _ann(spark, [
+        # span match: system top at same span is E2 → pick E2 (pos 1)
+        ("d1", 0, 5, [("E1", 0.9, None), ("E2", 0.8, None)]),
+        # doc match: no system at this span; E9 seen in doc d1
+        ("d1", 10, 15, [("E8", 0.9, None), ("E9", 0.8, None)]),
+        # collection match: E7 only in doc d2's system output
+        ("d1", 20, 25, [("E6", 0.9, None), ("E7", 0.8, None)]),
+        # no match anywhere → first candidate
+        ("d1", 30, 35, [("EA", 0.9, None), ("EB", 0.8, None)]),
+        # single candidate: untouched
+        ("d1", 40, 45, [("EC", 0.9, None)]),
+    ])
+    system = _ann(spark, [
+        ("d1", 0, 5, [("E2", 1.0, None)]),
+        ("d1", 50, 55, [("E9", 1.0, None)]),
+        ("d2", 0, 5, [("E7", 1.0, None)]),
+    ])
+    got = {
+        r["start"]: [c["eid"] for c in r["candidates"]]
+        for r in select_alternatives(gold, system).collect()
+    }
+    assert got[0] == ["E2"]
+    assert got[10] == ["E9"]
+    assert got[20] == ["E7"]
+    assert got[30] == ["EA"]
+    assert got[40] == ["EC"]
+
+
+def test_streaming_split_and_reassemble(spark):
+    reqs = spark.createDataFrame(
+        [("j1", [f"t{i}" for i in range(10)]), ("j2", ["a", "b", "c"])],
+        "job_id:string, texts:array<string>",
+    )
+    partials = split_into_partials(reqs, max_batch_size=4)
+    rows = partials.collect()
+    by_job = {}
+    for r in rows:
+        by_job.setdefault(r["job_id"], []).append((r["partial_id"], r["items"], r["n_partials"]))
+    assert len(by_job["j1"]) == 3 and all(n == 3 for _, _, n in by_job["j1"])
+    assert len(by_job["j2"]) == 1
+
+    # reassembly: results arrive out of order; drop one partial of j3
+    done = partials.withColumnRenamed("items", "results")
+    incomplete = spark.createDataFrame(
+        [("j3", 0, ["x"], 2)],
+        "job_id:string, partial_id:int, results:array<string>, n_partials:int",
+    )
+    out = reassemble_jobs(done.unionByName(incomplete))
+    got = {r["job_id"]: r["results"] for r in out.collect()}
+    assert got["j1"] == [f"t{i}" for i in range(10)]  # order restored
+    assert got["j2"] == ["a", "b", "c"]
+    assert "j3" not in got  # checksum incomplete → held back
+
+
+def test_permutation_and_bootstrap(spark):
+    from medtype_spark.metrics.significance import (
+        bootstrap_diffs,
+        percentile_ci,
+        permutation_test,
+    )
+
+    # system1 clearly better than system2 on every doc
+    rows = [(f"d{i}", 9, 1, 1, 5, 5, 5) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "docid:string, tp1:long, fp1:long, fn1:long, tp2:long, fp2:long, fn2:long"
+    )
+    res = permutation_test(df, n_trials=200).collect()[0]
+    assert res["base_diff"] > 0.3
+    assert res["p_value"] < 0.05  # significant
+
+    diffs = bootstrap_diffs(df, n_trials=100)
+    ci = {r["level"]: (r["lo"], r["hi"]) for r in percentile_ci(diffs).collect()}
+    lo, hi = ci[95]
+    assert lo <= res["base_diff"] <= hi or lo > 0  # a positive-effect CI
