@@ -158,3 +158,59 @@ def muc(
     prow = vilain(p, t).select(F.col("num").alias("p_num"), F.col("den").alias("p_den"))
     rrow = vilain(t, p).select(F.col("num").alias("r_num"), F.col("den").alias("r_den"))
     return prf_row(prow.crossJoin(rrow))
+
+
+def pairwise_negative(
+    true: DataFrame,
+    pred: DataFrame,
+    mention: str = "mention",
+    cluster: str = "cluster",
+) -> DataFrame:
+    """BLANC negative-pair agreement (coref_metrics.py:574-598).
+
+    Computed purely from marginals — no pair materialization:
+    pos = Σ C(n_tp,2); disagreements = true_pairs_common +
+    pred_pairs_common − 2·pos; neg = C(n_common,2) − pos −
+    disagreements; p_den = C(|pred|,2) − pred_pairs; r_den symmetric.
+    (Verified against the reference doctest in tests.)
+    """
+    t = _normalize(true, mention, cluster)
+    p = _normalize(pred, mention, cluster)
+    pm = p.withColumnRenamed("c", "pc")
+    common = t.join(pm, "m")
+
+    inter = common.groupBy("c", "pc").agg(F.count(F.lit(1)).alias("n_tp"))
+    pos = inter.agg(F.coalesce(F.sum(_tri(F.col("n_tp"))), F.lit(0.0)).alias("v"))
+
+    tpc = common.groupBy("c").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.coalesce(F.sum(_tri(F.col("n"))), F.lit(0.0)).alias("v"))
+    ppc = common.groupBy("pc").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.coalesce(F.sum(_tri(F.col("n"))), F.lit(0.0)).alias("v"))
+    n_common = common.agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+    t_pairs = t.groupBy("c").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.coalesce(F.sum(_tri(F.col("n"))), F.lit(0.0)).alias("v"))
+    p_pairs = p.groupBy("c").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.coalesce(F.sum(_tri(F.col("n"))), F.lit(0.0)).alias("v"))
+    n_t = t.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    n_p = p.agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+    row = (
+        pos.select(F.col("v").alias("pos"))
+        .crossJoin(tpc.select(F.col("v").alias("tpc")))
+        .crossJoin(ppc.select(F.col("v").alias("ppc")))
+        .crossJoin(n_common.select(F.col("v").alias("nc")))
+        .crossJoin(t_pairs.select(F.col("v").alias("tp_all")))
+        .crossJoin(p_pairs.select(F.col("v").alias("pp_all")))
+        .crossJoin(n_t.select(F.col("v").alias("nt")))
+        .crossJoin(n_p.select(F.col("v").alias("np")))
+    )
+    neg = (_tri(F.col("nc")) - F.col("pos")
+           - (F.col("tpc") + F.col("ppc") - 2 * F.col("pos")))
+    out = row.select(
+        neg.alias("p_num"),
+        (_tri(F.col("np")) - F.col("pp_all")).alias("p_den"),
+        neg.alias("r_num"),
+        (_tri(F.col("nt")) - F.col("tp_all")).alias("r_den"),
+    )
+    return prf_row(out)

@@ -485,3 +485,78 @@ SELECT job_id, array_to_string(t, ' ') AS text_rt,
        CAST(ceil(len(t) / 4.0) AS BIGINT) AS collected
 FROM d
 """
+
+ORACLES["q34_pairwise_negative"] = f"""
+WITH {_CLUSTER_CTES},
+common AS (SELECT t.m, t.c AS tc, p.c AS pc FROM t JOIN p USING (m)),
+inter2 AS (SELECT tc, pc, count(*) AS n FROM common GROUP BY tc, pc),
+vals AS (
+  SELECT
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM inter2) AS pos,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM common GROUP BY tc)) AS tpc,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM common GROUP BY pc)) AS ppc,
+    (SELECT count(*)::DOUBLE FROM common) AS nc,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM t GROUP BY c)) AS tp_all,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM p GROUP BY c)) AS pp_all,
+    (SELECT count(*)::DOUBLE FROM t) AS nt,
+    (SELECT count(*)::DOUBLE FROM p) AS np
+),
+nums AS (
+  SELECT (nc*(nc-1)/2 - pos - (tpc + ppc - 2*pos)) AS p_num,
+         (np*(np-1)/2 - pp_all) AS p_den,
+         (nc*(nc-1)/2 - pos - (tpc + ppc - 2*pos)) AS r_num,
+         (nt*(nt-1)/2 - tp_all) AS r_den
+  FROM vals
+)
+{_PRF_TAIL}
+"""
+
+ORACLES["q35_first_on_category"] = """
+WITH m(mention_id, cands, act_cat) AS (VALUES
+  ('m1', ['E1','E2','E3'], ['Anatomy']),
+  ('m2', ['E2','E1'], ['Disorders']),
+  ('m3', ['E9'], ['Anatomy']),
+  ('m4', ['E3','E1'], ['Finding'])),
+et(eid, types) AS (VALUES
+  ('E1', ['Anatomy']), ('E2', ['Disorders']), ('E3', ['Anatomy','Finding'])),
+ex AS (
+  SELECT mention_id, act_cat, unnest(cands) AS eid,
+         generate_subscripts(cands, 1) AS pos
+  FROM m
+),
+hit AS (
+  SELECT ex.mention_id, min(ex.pos) AS minpos
+  FROM ex JOIN et ON ex.eid = et.eid
+  WHERE len(list_intersect(et.types, ex.act_cat)) > 0
+  GROUP BY ex.mention_id
+)
+SELECT m.mention_id,
+       CASE WHEN hit.minpos IS NULL THEN NULL ELSE m.cands[hit.minpos] END AS selected_eid,
+       coalesce(hit.minpos - 1, -1) AS selected_idx
+FROM m LEFT JOIN hit USING (mention_id)
+"""
+
+ORACLES["q36_weighted_match"] = """
+WITH gold(docid, gold_type) AS (VALUES
+  ('d1','TYA'), ('d2','TYA'), ('d3','TYB'), ('d4','TYC')),
+sys(docid, sys_type) AS (VALUES
+  ('d1','TYA'), ('d2','TYB'), ('d3','TYB2'), ('d4','TYX')),
+w(gold_type, sys_type, weight) AS (VALUES
+  ('TYA','TYB',0.5), ('TYB','TYB2',0.8))
+SELECT g.docid, g.gold_type, s.sys_type,
+       round(coalesce(w.weight,
+                      CASE WHEN g.gold_type = s.sys_type THEN 1.0 ELSE 0.0 END)::DOUBLE, 6) AS weight
+FROM gold g
+JOIN sys s USING (docid)
+LEFT JOIN w ON w.gold_type = g.gold_type AND w.sys_type = s.sys_type
+"""
+
+ORACLES["q37_lookup_fallback"] = """
+WITH dim(key, value) AS (VALUES
+  ('en','english'), ('pfx_de','german'), ('fr','french'), ('pfx_zh','chinese'))
+SELECT doc_id, lang,
+       coalesce(d1.value, d2.value) AS lang_name
+FROM documents
+LEFT JOIN dim d1 ON d1.key = lang
+LEFT JOIN dim d2 ON d2.key = 'pfx_' || lang
+"""

@@ -601,3 +601,90 @@ QUERIES.update({
     "q32_split_partials": q32_split_partials,
     "q33_reassemble": q33_reassemble,
 })
+
+
+def q34_pairwise_negative(spark, sf_dir):
+    """A6: BLANC negative-pair agreement (coref_metrics.py:574-598)."""
+    from medtype_spark.metrics.clustering import pairwise_negative
+
+    true, pred = _clusterings(spark, sf_dir)
+    return _metric_out(pairwise_negative(true, pred))
+
+
+def q35_first_on_category(spark, sf_dir):
+    """J9: filter_on_cat oracle selection (eval_models.py:3-13)."""
+    from medtype_spark.operators.lookups import first_on_category
+
+    mentions = spark.createDataFrame(
+        [
+            ("m1", [("E1", 0.9), ("E2", 0.8), ("E3", 0.7)], ["Anatomy"]),
+            ("m2", [("E2", 0.9), ("E1", 0.8)], ["Disorders"]),
+            ("m3", [("E9", 0.9)], ["Anatomy"]),          # unknown eid → -1
+            ("m4", [("E3", 0.9), ("E1", 0.2)], ["Finding"]),
+        ],
+        "mention_id:string, candidates:array<struct<eid:string,score:double>>, act_cat:array<string>",
+    )
+    etypes = spark.createDataFrame(
+        [("E1", ["Anatomy"]), ("E2", ["Disorders"]), ("E3", ["Anatomy", "Finding"])],
+        "eid:string, types:array<string>",
+    )
+    out = first_on_category(mentions, etypes)
+    return out.select("mention_id", "selected_eid", "selected_idx")
+
+
+def q36_weighted_match(spark, sf_dir):
+    """J5: weighted match with broadcast weight table + exact-match
+    default (annotation.py:359-379, configs.py:276-289)."""
+    from medtype_spark.operators.lookups import weighted_match_score
+
+    gold = spark.createDataFrame(
+        [("d1", "TYA"), ("d2", "TYA"), ("d3", "TYB"), ("d4", "TYC")],
+        "docid:string, type:string",
+    )
+    system = spark.createDataFrame(
+        [("d1", "TYA"), ("d2", "TYB"), ("d3", "TYB2"), ("d4", "TYX")],
+        "docid:string, type:string",
+    )
+    weights = spark.createDataFrame(
+        [("TYA", "TYB", 0.5), ("TYB", "TYB2", 0.8)],
+        "gold_type:string, sys_type:string, weight:double",
+    )
+    out = weighted_match_score(gold, system, ["docid"], weights=weights)
+    return out.select("docid", "gold_type", "sys_type", _r6(F.col("weight")).alias("weight"))
+
+
+def q37_lookup_fallback(spark, sf_dir):
+    """J10: 3-way id-normalization lookup back-off
+    (eval_models.py:15-19)."""
+    from medtype_spark.operators.lookups import lookup_with_fallback
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    dim = spark.createDataFrame(
+        [("en", "english"), ("pfx_de", "german"), ("fr", "french"),
+         ("pfx_zh", "chinese")],
+        "key:string, value:string",
+    )
+    out = lookup_with_fallback(
+        d, dim,
+        [F.col("lang"), F.concat(F.lit("pfx_"), F.col("lang"))],
+        out_col="lang_name",
+    )
+    return out.select("doc_id", "lang", "lang_name")
+
+
+def q38_ceaf(spark, sf_dir):
+    """A9: CEAF via component-decomposed Hungarian (driver-side solve;
+    no SQL oracle — assignment is not expressible)."""
+    from medtype_spark.metrics.ceaf import mention_ceaf
+
+    true, pred = _clusterings(spark, sf_dir)
+    return _metric_out(mention_ceaf(true, pred))
+
+
+QUERIES.update({
+    "q34_pairwise_negative": q34_pairwise_negative,
+    "q35_first_on_category": q35_first_on_category,
+    "q36_weighted_match": q36_weighted_match,
+    "q37_lookup_fallback": q37_lookup_fallback,
+    "q38_ceaf": q38_ceaf,
+})

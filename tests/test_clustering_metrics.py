@@ -124,3 +124,13 @@ def test_pairwise_identical_is_perfect(spark):
     cl = {1: {"a", "b", "c"}, 2: {"d", "e"}}
     row = pairwise(_to_df(spark, cl), _to_df(spark, cl)).collect()[0]
     assert row["fscore"] == 1.0
+
+
+def test_pairwise_negative_reference_doctest(spark):
+    """Exact values from the coref_metrics.py:579-582 doctest."""
+    from medtype_spark.metrics.clustering import pairwise_negative
+
+    true = {1: {"a", "b", "c"}, 2: {"d"}}
+    pred = {1: {"b", "c"}, 2: {"d", "e"}}
+    row = pairwise_negative(_to_df(spark, true), _to_df(spark, pred)).collect()[0]
+    assert (row["p_num"], row["p_den"], row["r_num"], row["r_den"]) == (2, 4, 2, 3)
