@@ -32,7 +32,7 @@ HEADLINE = [
     "q21_pairwise",
     "q24_cosine_topk",
     "q25_cc_chains",
-    "q43_flagship_linkage",
+    "q53_flagship_linkage",
 ]
 
 

@@ -560,3 +560,55 @@ FROM documents
 LEFT JOIN dim d1 ON d1.key = lang
 LEFT JOIN dim d2 ON d2.key = 'pfx_' || lang
 """
+
+ORACLES["q39_interval_score_sum"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         event_id % 1000 AS s,
+         event_id % 1000 + (CAST(floor(value) AS BIGINT) % 50) AS en
+  FROM events
+),
+matched AS (
+  SELECT l.event_id AS ref_id, l.s AS ls, l.en AS le,
+         greatest(r.s, l.s) AS cs, least(r.en, l.en) AS ce
+  FROM e l JOIN e r ON l.user_id = r.user_id AND l.event_id <> r.event_id
+  WHERE l.event_type = 'error' AND r.s <= l.en AND r.en >= l.s
+),
+covered AS (
+  SELECT DISTINCT ref_id, ls, le, unnest(range(cs, ce + 1)) AS pos
+  FROM matched WHERE ce >= cs
+)
+SELECT ref_id, round(count(*)::DOUBLE / (le - ls + 1), 6) AS overlap
+FROM covered GROUP BY ref_id, ls, le
+"""
+
+ORACLES["q40_server_stats"] = """
+SELECT user_id, count(*) AS n_requests,
+       round(avg(value), 6) AS avg_msg_size,
+       min(ts) AS first_seen, max(ts) AS last_seen
+FROM events GROUP BY user_id
+"""
+
+ORACLES["q41_size_histogram"] = """
+SELECT floor(value / 50.0) * 50.0 AS bucket_lo, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+ORACLES["q42_average_precision"] = """
+WITH scored AS (
+  SELECT vec_id, embedding[1]::DOUBLE AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS label
+  FROM embeddings
+),
+ranked AS (
+  SELECT label::DOUBLE AS rel,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS k,
+         sum(label) OVER (ORDER BY score DESC, vec_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp_at_k
+  FROM scored
+)
+SELECT round(coalesce(sum(tp_at_k::DOUBLE / k * rel) / sum(rel), 0.0), 6) AS average_precision,
+       CAST(sum(rel) AS BIGINT) AS n_pos,
+       count(*) AS n
+FROM ranked
+"""

@@ -688,3 +688,69 @@ QUERIES.update({
     "q37_lookup_fallback": q37_lookup_fallback,
     "q38_ceaf": q38_ceaf,
 })
+
+
+def q39_interval_score_sum(spark, sf_dir):
+    """J7 'sum' mode: union-coalesced covered chars / ref length
+    (annotation.py:462-505) via window-based island detection."""
+    from medtype_spark.operators.intervals import interval_join, overlap_score_sum
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        (F.col("event_id") % 1000).alias("start"),
+        (F.col("event_id") % 1000 + (F.floor("value").cast("long") % 50)).alias("end"),
+    )
+    left = e.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("ref_id"), "start", "end"
+    )
+    right = e.select("user_id", F.col("event_id").alias("sys_id"), "start", "end")
+    matched = interval_join(left, right, band_key="user_id").where(
+        F.col("ref_id") != F.col("sys_id_r")
+    )
+    scored = overlap_score_sum(matched, ["ref_id"])
+    return scored.select("ref_id", _r6(F.col("overlap")).alias("overlap"))
+
+
+def q40_server_stats(spark, sf_dir):
+    """A12: per-client request statistics (ServerStatistic analogue,
+    .../server/__init__.py:605-673)."""
+    from medtype_spark.metrics.statistics import request_stats
+
+    return request_stats(_t(spark, sf_dir, "events"))
+
+
+def q41_size_histogram(spark, sf_dir):
+    """A13: message-size histogram — exact groupBy replaces the
+    LRU-capped dict (server/helper.py:181-259)."""
+    from medtype_spark.metrics.statistics import size_histogram
+
+    return size_histogram(_t(spark, sf_dir, "events"))
+
+
+def q42_average_precision(spark, sf_dir):
+    """A10: AUPRC, sort-based (medtype.py:236-252)."""
+    from medtype_spark.metrics.ap import average_precision
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.col("vec_id"),
+        (F.element_at("embedding", 1)).cast("double").alias("score"),
+        (F.col("label") < 5).cast("int").alias("label"),
+    )
+    out = average_precision(scored, tiebreak_col="vec_id")
+    return out.select(
+        _r6(F.col("average_precision")).alias("average_precision"), "n_pos", "n"
+    )
+
+
+QUERIES.update({
+    "q39_interval_score_sum": q39_interval_score_sum,
+    "q40_server_stats": q40_server_stats,
+    "q41_size_histogram": q41_size_histogram,
+    "q42_average_precision": q42_average_precision,
+})
+# rename collisions from the earlier rows-only block
+QUERIES["q50_simhash"] = QUERIES.pop("q40_simhash")
+QUERIES["q51_lsh_topk"] = QUERIES.pop("q41_lsh_topk")
+QUERIES["q52_stub_type_scorer"] = QUERIES.pop("q42_stub_type_scorer")
+QUERIES["q53_flagship_linkage"] = QUERIES.pop("q43_flagship_linkage")
