@@ -131,6 +131,7 @@ def synth_pages(
     hot_fraction: float = 0.15,
     n_families: int = 7,
     partitions: int | None = None,
+    gap_words: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (pages, gold_mentions).
 
@@ -172,7 +173,7 @@ def synth_pages(
                 men_r = _rand_u64(seed, np.arange(pid * 131, pid * 131 + nm), 5)
                 gap_r = _rand_u64(seed, np.arange(pid * 53, pid * 53 + nm + 1), 6)
                 for j in range(nm):
-                    add_filler(2 + int(gap_r[j]) % 4)
+                    add_filler((2 + int(gap_r[j]) % 4) * gap_words)
                     if j == 0 and bool(r_hot[k]):
                         ai = hot_alias_idx
                     else:
@@ -183,7 +184,7 @@ def synth_pages(
                     gold.append((start, end, alias, alias_eid[ai]))
                     words.append(alias)
                     pos = end + 1
-                add_filler(2 + int(gap_r[nm]) % 4)
+                add_filler((2 + int(gap_r[nm]) % 4) * gap_words)
                 text = " ".join(words)
                 html = f"<html><head><title>p{pid}</title></head><body><p>{text}</p></body></html>".encode()
                 ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=pid % 31536000)

@@ -82,3 +82,121 @@ def detect_mentions(
             )
 
     return pages.select(url_col, text_col).mapInPandas(scan, schema=MENTION_SCHEMA)
+
+
+FUSED_SCHEMA = T.StructType(MENTION_SCHEMA.fields + [
+    T.StructField("mention_key", T.StringType()),
+    T.StructField("norm_form", T.StringType()),
+    T.StructField("block_key", T.StringType()),
+    T.StructField("pred_type", T.ArrayType(T.StringType())),
+])
+
+_NORM_RE = re.compile(r"[^a-z0-9 ]")
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_form_py(s: str) -> str:
+    """Python twin of operators.blocking.blocking_key (kept in sync;
+    differential-tested in tests/test_pipeline.py)."""
+    out = _NORM_RE.sub("", s.lower().strip())
+    return _WS_RE.sub(" ", out).strip()
+
+
+def fused_mention_scan(
+    pages: DataFrame,
+    lexicon: pd.DataFrame,
+    alias2types: dict[str, list[str]] | None,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """One-hop scan: html → extracted text → mentions + candidates +
+    normalized/blocking keys + predicted types, in a SINGLE
+    mapInPandas.
+
+    Rationale: the modular pipeline chains three Python runners
+    (extract UDF → detect mapInPandas → scorer UDF); every hop is an
+    Arrow socket round-trip per batch.  Fusing them into one runner
+    cuts worker count and serialization 3× — on this sandbox the
+    chained version spends >90% CPU in kernel/syscall time at
+    local[32], and at cluster scale the saved serialization is real
+    money.  ``alias2types=None`` switches to the deterministic stub
+    transformer scorer (functions/scoring.py).
+    """
+    spark = pages.sparkSession
+    lex_b = spark.sparkContext.broadcast(
+        (lexicon[["alias", "eid", "score"]].values.tolist(), alias2types)
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows, a2t = lex_b.value
+        alias_map: dict[str, list[tuple[str, float]]] = {}
+        for alias, eid, score in rows:
+            alias_map.setdefault(alias, []).append((eid, float(score)))
+        for cands in alias_map.values():
+            cands.sort(key=lambda c: (-c[1], c[0]))
+        pattern = re.compile(
+            r"(?<![0-9A-Za-z])("
+            + "|".join(re.escape(a) for a in sorted(alias_map, key=len, reverse=True))
+            + r")(?![0-9A-Za-z])"
+        )
+        extract_re = re.compile(r"<p>(.*?)</p>", re.S)
+        norm_cache: dict[str, tuple[str, str, list[str]]] = {}
+
+        if a2t is None:
+            from medtype_spark.functions.scoring import (
+                COARSE_TYPES,
+                THRESHOLD,
+                _featurize,
+                _load_stub_weights,
+            )
+
+            w = _load_stub_weights()
+            labels = np.array(COARSE_TYPES, dtype=object)
+
+            def types_of(norms: list[str]) -> list[list[str]]:
+                feats = _featurize(pd.Series(norms))
+                probs = 1.0 / (1.0 + np.exp(-(feats @ w)))
+                return [list(labels[m]) for m in probs > THRESHOLD]
+        else:
+
+            def types_of(norms: list[str]) -> list[list[str]]:
+                return [a2t.get(n, []) for n in norms]
+
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                decoded = bytes(html).decode("utf-8", "replace")
+                m0 = extract_re.search(decoded)
+                text = m0.group(1) if m0 else ""
+                for m in pattern.finditer(text):
+                    surface = m.group(1)
+                    cached = norm_cache.get(surface)
+                    if cached is None:
+                        norm = normalize_form_py(surface)
+                        head = norm.split(" ", 1)[0] if norm else ""
+                        ptypes = types_of([norm])[0]
+                        cached = (norm, head, ptypes)
+                        norm_cache[surface] = cached
+                    norm, head, ptypes = cached
+                    cands = [
+                        {"eid": e, "score": round(s, 3)}
+                        for e, s in alias_map[surface]
+                    ]
+                    out.append((
+                        url, m.start(1), m.end(1), surface, cands,
+                        f"{url}#{m.start(1)}", norm, head, ptypes,
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "start_offset", "end_offset", "mention",
+                    "candidates", "mention_key", "norm_form", "block_key",
+                    "pred_type",
+                ],
+            )
+
+    return pages.select(url_col, html_col).mapInPandas(scan, schema=FUSED_SCHEMA)

@@ -96,32 +96,67 @@ def run_linkage(
     target_cell: int = 2000,
     require_type_agreement: bool = True,
     cleanup: bool = False,
+    pair_grain: str = "form",
+    type_scorer: str = "dict",
+    fused: bool = True,
 ) -> dict[str, DataFrame]:
-    """Run the flagship pipeline; returns the per-stage DataFrames."""
+    """Run the flagship pipeline; returns the per-stage DataFrames.
+
+    ``pair_grain``:
+    - "form" (default): score pairs of DISTINCT normalized surface
+      forms per block, cluster forms, then project clusters back onto
+      mentions.  Same mention clusters as mention-grain (the score is
+      a pure function of the normalized form, and same-form mentions
+      are trivially JW=1.0-linked) at a tiny fraction of the cost: the
+      within-block quadratic runs over the form *vocabulary* (Zipf —
+      sublinear in corpus size), not mention instances.  This is the
+      only shape that survives 10^12 documents.
+    - "mention": literal mention-instance pair scoring (the naive
+      quadratic; kept for parity testing).
+    """
     spark = pages.sparkSession
 
-    extracted = extract_pages(pages)
-
-    mentions = detect_mentions(extracted, lexicon, text_col="extracted_text")
-    mentions = mentions.withColumn(
-        "mention_key",
-        F.concat_ws("#", F.col("url"), F.col("start_offset").cast("string")),
-    )
-    mentions = mentions.withColumn("norm_form", normalized_form(F.col("mention")))
-    mentions = mentions.withColumn("block_key", head_token(F.col("norm_form")))
-
-    # semantic-type prediction + the MedType candidate filter (J8)
-    alias2types = {}
+    alias2types: dict[str, set] = {}
     for _, row in lexicon.iterrows():
         key = "".join(
             ch for ch in row["alias"].lower() if ch.isalnum() or ch == " "
         )
         key = " ".join(key.split())
         alias2types.setdefault(key, set()).add(row["type"])
-    scorer = make_dict_type_scorer(
-        spark, {k: sorted(v) for k, v in alias2types.items()}
-    )
-    mentions = mentions.withColumn("pred_type", scorer(F.col("norm_form")))
+    a2t_sorted = {k: sorted(v) for k, v in alias2types.items()}
+
+    if fused:
+        # single-python-hop scan (extract + detect + normalize + score)
+        from medtype_spark.operators.mentions import fused_mention_scan
+
+        extracted = pages
+        mentions = fused_mention_scan(
+            pages, lexicon, a2t_sorted if type_scorer == "dict" else None
+        )
+    else:
+        extracted = extract_pages(pages)
+        mentions = detect_mentions(extracted, lexicon, text_col="extracted_text")
+        mentions = mentions.withColumn(
+            "mention_key",
+            F.concat_ws("#", F.col("url"), F.col("start_offset").cast("string")),
+        )
+        mentions = mentions.withColumn("norm_form", normalized_form(F.col("mention")))
+        mentions = mentions.withColumn("block_key", head_token(F.col("norm_form")))
+
+        # semantic-type prediction (batched pandas UDF)
+        if type_scorer == "dict":
+            scorer = make_dict_type_scorer(spark, a2t_sorted)
+            mentions = mentions.withColumn("pred_type", scorer(F.col("norm_form")))
+        elif type_scorer == "stub":
+            from medtype_spark.functions.scoring import stub_type_scorer_udf
+
+            mentions = mentions.withColumn(
+                "pred_type", stub_type_scorer_udf(F.col("norm_form"))
+            )
+        else:
+            raise ValueError(type_scorer)
+
+    # the MedType candidate filter (J8)
     mentions = filter_candidates(mentions, entity_types)
     # mention table feeds pair generation (3 consumers), CC vertices,
     # and the returned stage output — persist so the page-scan +
@@ -130,17 +165,32 @@ def run_linkage(
 
     # salted within-block pairs + Jaro-Winkler scoring
     persisted: list[DataFrame] = [mentions]
+    if pair_grain == "form":
+        units = (
+            mentions.groupBy("block_key", "norm_form")
+            .agg(F.first("pred_type").alias("pred_type"))
+        )
+        id_col = "norm_form"
+        extra = ["pred_type"]
+    elif pair_grain == "mention":
+        units = mentions
+        id_col = "mention_key"
+        extra = ["norm_form", "pred_type"]
+    else:
+        raise ValueError(pair_grain)
+
     pairs = block_pairs(
-        mentions,
+        units,
         key_col="block_key",
-        id_col="mention_key",
+        id_col=id_col,
         hot_threshold=hot_threshold,
         target_cell=target_cell,
-        extra_cols=["norm_form", "pred_type"],
+        extra_cols=extra,
         persist_registry=persisted,
     )
+    a_form, b_form = "a_norm_form", "b_norm_form"
     scored = pairs.withColumn(
-        "score", F.round(jaro_winkler_udf(F.col("a_norm_form"), F.col("b_norm_form")), 3)
+        "score", F.round(jaro_winkler_udf(F.col(a_form), F.col(b_form)), 3)
     )
     edge_cond = F.col("score") >= F.lit(score_threshold)
     if require_type_agreement:
@@ -153,16 +203,34 @@ def run_linkage(
             | (F.size(F.array_intersect("a_pred_type", "b_pred_type")) > 0)
         )
         edge_cond = edge_cond & agree
-    edges = scored.where(edge_cond).select(
-        F.col("a_mention_key").alias("src"), F.col("b_mention_key").alias("dst")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    persisted.append(edges)
-
-    clusters = connected_components(
-        edges,
-        vertices=mentions.select(F.col("mention_key").alias("node")),
-    ).select(F.col("node").alias("mention_key"), F.col("component").alias("entity_cluster"))
+    if pair_grain == "form":
+        form_edges = scored.where(edge_cond).select(
+            F.col(a_form).alias("src"), F.col(b_form).alias("dst")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(form_edges)
+        form_clusters = connected_components(
+            form_edges,
+            vertices=units.select(F.col("norm_form").alias("node")),
+        )
+        clusters = (
+            mentions.select("mention_key", "norm_form")
+            .join(
+                form_clusters.withColumnRenamed("node", "norm_form"),
+                "norm_form",
+            )
+            .select("mention_key", F.col("component").alias("entity_cluster"))
+        )
+        edges = form_edges
+    else:
+        edges = scored.where(edge_cond).select(
+            F.col("a_mention_key").alias("src"), F.col("b_mention_key").alias("dst")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(edges)
+        clusters = connected_components(
+            edges,
+            vertices=mentions.select(F.col("mention_key").alias("node")),
+        ).select(F.col("node").alias("mention_key"), F.col("component").alias("entity_cluster"))
 
     if cleanup:
         # materialize the product, then release every cached

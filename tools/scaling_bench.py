@@ -41,14 +41,14 @@ etypes = entity_types_df(spark, n_entities)
 # identical input at every parallelism level: deterministic generator,
 # fixed partition count independent of cpus
 pages, _gold = synth_pages(spark, n_pages, n_entities=n_entities, seed=42,
-                           partitions=64)
+                           partitions=64, mentions_per_page=8, gap_words=10)
 pages = pages.persist()
 n = pages.count()  # materialize input before timing
 
 times = []
 for rep in range(repeats + 1):  # +1 warm-up, discarded
     t0 = time.perf_counter()
-    result = run_linkage(pages, lex, etypes, cleanup=True)
+    result = run_linkage(pages, lex, etypes, cleanup=True, type_scorer='stub')
     n_clusters = result["clusters"].count()
     dt = time.perf_counter() - t0
     if rep > 0:
@@ -71,7 +71,7 @@ def run_level(cpus: int, n_pages: int, n_entities: int, repeats: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     n_entities = 150
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
     lo, hi = 8, 32
