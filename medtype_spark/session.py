@@ -69,6 +69,15 @@ def get_spark(
         # a 15s accept-wait (twice) per python runner under this
         # sandbox's network stack; the handshake itself is instant.
         .config("spark.python.authenticate.socketTimeout", "2s")
+        # Fresh worker per task: avoids the reused-worker drain wait
+        # when a python-lineage plan feeds a cache/checkpoint writer,
+        # and bounds per-worker memory.  Fork-from-daemon keeps spawn
+        # cheap.
+        .config("spark.python.worker.reuse", "false")
+        # 4 MiB stream buffers: ~64x fewer socket syscalls on the
+        # arrow channel — significant under this sandbox's syscall
+        # emulation, harmless elsewhere.
+        .config("spark.buffer.size", str(4 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     # Warm the collation/codegen path once, uncontended, so the first
