@@ -97,17 +97,20 @@ def write_annotation_tsv(ann: DataFrame, path: str, mode: str = "overwrite"):
 def weak_projection(ann: DataFrame) -> DataFrame:
     """P10: per-character ('weak') projection of spans
     (neleval/weak.py:17-21: each annotation becomes one annotation per
-    char offset in [start, end])."""
+    char offset i in [start, end], emitted as the end-exclusive char
+    span (i, i+1) — byte-compatible with ToWeak's output)."""
     return ann.select(
         "docid",
         F.explode(F.sequence("start", "end")).alias("start"),
         "candidates",
-    ).withColumn("end", F.col("start"))
+    ).withColumn("end", F.col("start") + 1)
 
 
+# Exact reference spellings (analyze.py:19-31): the two "correct"
+# labels are space-separated, the error labels hyphenated.
 ERROR_LABELS = [
-    "extra", "missing", "correct-link", "wrong-link",
-    "link-as-nil", "nil-as-link", "correct-nil",
+    "extra", "missing", "correct link", "wrong-link",
+    "link-as-nil", "nil-as-link", "correct nil",
 ]
 
 
@@ -131,10 +134,10 @@ def classify_errors(
     label = (
         F.when(F.col("sys_eid").isNull() & F.col("gold_eid").isNotNull(), "missing")
         .when(F.col("gold_eid").isNull() & F.col("sys_eid").isNotNull(), "extra")
-        .when(is_g_nil & is_s_nil, "correct-nil")
+        .when(is_g_nil & is_s_nil, "correct nil")
         .when(is_g_nil & ~is_s_nil, "nil-as-link")
         .when(~is_g_nil & is_s_nil, "link-as-nil")
-        .when(F.col("gold_eid") == F.col("sys_eid"), "correct-link")
+        .when(F.col("gold_eid") == F.col("sys_eid"), "correct link")
         .otherwise("wrong-link")
     )
     return j.select(*keys, "gold_eid", "sys_eid", label.alias("label"))

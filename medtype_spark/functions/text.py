@@ -80,7 +80,10 @@ def collapse_char_pandas(s: pd.Series, ch: str) -> pd.Series:
     collapse remaining runs to one char.
     """
     c = re.escape(ch)
-    out = s.str.replace(rf"(?<!{c}){c}$", "", regex=True)
+    # \Z, not $: $ also matches before a trailing \n, which would wrongly
+    # drop a lone ch in "...ch\n" (the reference loop only treats the
+    # true last index specially).
+    out = s.str.replace(rf"(?<!{c}){c}\Z", "", regex=True)
     out = out.str.replace(rf"^{c}+", "", regex=True)
     out = out.str.replace(rf"{c}{c}+", ch, regex=True)
     return out

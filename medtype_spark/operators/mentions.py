@@ -94,6 +94,11 @@ FUSED_SCHEMA = T.StructType(MENTION_SCHEMA.fields + [
 _NORM_RE = re.compile(r"[^a-z0-9 ]")
 _WS_RE = re.compile(r"\s+")
 
+# THE extraction regex — single definition shared by the fused scan and
+# pipeline.extract_text_udf so both paths extract byte-identically
+# (re.S: a <p>…</p> spanning newlines must match on both paths).
+EXTRACT_RE = re.compile(r"<p>(.*?)</p>", re.S)
+
 
 def normalize_form_py(s: str) -> str:
     """Python twin of operators.blocking.blocking_key (kept in sync;
@@ -141,7 +146,7 @@ def fused_mention_scan(
             + "|".join(re.escape(a) for a in sorted(alias_map, key=len, reverse=True))
             + r")(?![0-9A-Za-z])"
         )
-        extract_re = re.compile(r"<p>(.*?)</p>", re.S)
+        extract_re = EXTRACT_RE
         norm_cache: dict[str, tuple[str, str, list[str]]] = {}
 
         if a2t is None:

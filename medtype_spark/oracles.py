@@ -101,7 +101,7 @@ GROUP BY a.user_id
 ORACLES["q11_sliding_stats"] = """
 WITH e AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
 SELECT user_id, event_id,
-       sum(cents) OVER w AS sum_cents_200,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_200,
        count(*) OVER w AS n_window
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -126,7 +126,9 @@ WITH per_group AS (
   SELECT *, CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f
   FROM prf
 )
-SELECT 'micro' AS agg_mode, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+SELECT 'micro' AS agg_mode,
+       CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+       CAST(sum(fn) AS BIGINT) AS fn,
        round(CASE WHEN sum(tp) + sum(fp) = 0 THEN 0.0
                   ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fp)) END, 6) AS precision,
        round(CASE WHEN sum(tp) + sum(fn) = 0 THEN 0.0
@@ -140,7 +142,8 @@ SELECT 'micro' AS agg_mode, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
                         + (CASE WHEN sum(tp)+sum(fn)=0 THEN 0.0 ELSE sum(tp)::DOUBLE/(sum(tp)+sum(fn)) END)) END, 6) AS fscore
 FROM prf2
 UNION ALL
-SELECT 'macro', sum(tp), sum(fp), sum(fn),
+SELECT 'macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+       CAST(sum(fn) AS BIGINT),
        round(avg(p), 6), round(avg(r), 6), round(avg(f), 6)
 FROM prf2
 """
@@ -434,10 +437,10 @@ lab AS (
   SELECT CASE
     WHEN seid IS NULL AND geid IS NOT NULL THEN 'missing'
     WHEN geid IS NULL AND seid IS NOT NULL THEN 'extra'
-    WHEN (geid IS NULL OR geid LIKE 'NIL%') AND (seid IS NULL OR seid LIKE 'NIL%') THEN 'correct-nil'
+    WHEN (geid IS NULL OR geid LIKE 'NIL%') AND (seid IS NULL OR seid LIKE 'NIL%') THEN 'correct nil'
     WHEN (geid IS NULL OR geid LIKE 'NIL%') THEN 'nil-as-link'
     WHEN (seid IS NULL OR seid LIKE 'NIL%') THEN 'link-as-nil'
-    WHEN geid = seid THEN 'correct-link'
+    WHEN geid = seid THEN 'correct link'
     ELSE 'wrong-link' END AS label
   FROM j)
 SELECT label, count(*) AS n FROM lab GROUP BY label

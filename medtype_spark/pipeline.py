@@ -47,8 +47,10 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     length-preserving clean_text asserted at
     medtype-trainer/dump_linkers_output.py:147,195).
     """
+    from medtype_spark.operators.mentions import EXTRACT_RE
+
     decoded = html.apply(lambda b: b.decode("utf-8", "replace") if b is not None else "")
-    return decoded.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
+    return decoded.str.extract(EXTRACT_RE, expand=False).fillna("")
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:

@@ -60,20 +60,25 @@ class StageCheckpointer:
         name: str,
         build_fn,
         upstream: list[str] | None = None,
+        params: dict | None = None,
     ) -> DataFrame:
         """Return the stage output, recomputing only if needed.
 
         ``build_fn()`` produces the DataFrame; ``upstream`` names the
         stages it consumes (their fingerprints are chained into this
-        stage's manifest).
+        stage's manifest).  ``params`` are the caller's build parameters
+        (e.g. score_threshold) — folded into the fingerprint so a rerun
+        with different settings NEVER resumes from stale parquet.
         """
         upstream = upstream or []
+        params_key = json.dumps(params or {}, sort_keys=True, default=str)
         up_fps = {u: self.fingerprint(u) for u in upstream}
         m = self._read_manifest(name)
         _, data_path, mpath = self._paths(name)
         resumable = (
             m is not None
             and m.get("upstream") == up_fps
+            and m.get("params") == params_key
             and all(v is not None for v in up_fps.values())
         )
         if resumable:
@@ -83,19 +88,36 @@ class StageCheckpointer:
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
 
+        # One pass collects the per-partition lineage table AND an
+        # order-insensitive content digest (sum of xxhash64 over whole
+        # rows, like cc.py's edge fingerprint) — so identical row count
+        # + schema with different DATA still invalidates downstream.
+        from pyspark.sql.types import MapType
+
+        hashable = [
+            f.name for f in out.schema.fields
+            if not isinstance(f.dataType, MapType)  # maps are unhashable
+        ]
+        part_rows = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .withColumn(
+                "_h", F.xxhash64(*[F.col(c) for c in hashable]).cast("decimal(38,0)")
+            )
+            .groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("_h").alias("h"))
+            .select(F.col("_pid").alias("partition_id"), "n_rows", "h")
+            .collect()
+        )
         part_metrics = [
             {"partition_id": r["partition_id"], "n_rows": r["n_rows"]}
-            for r in (
-                out.withColumn("_pid", F.spark_partition_id())
-                .groupBy("_pid").agg(F.count(F.lit(1)).alias("n_rows"))
-                .select(F.col("_pid").alias("partition_id"), "n_rows")
-                .collect()
-            )
+            for r in part_rows
         ]
         n_rows = sum(p["n_rows"] for p in part_metrics)
+        content_digest = str(sum(int(r["h"] or 0) for r in part_rows))
         fp = hashlib.sha256(
             json.dumps(
                 {"stage": name, "rows": n_rows, "schema": out.schema.simpleString(),
+                 "content": content_digest, "params": params_key,
                  "upstream": up_fps},
                 sort_keys=True,
             ).encode()
@@ -104,6 +126,8 @@ class StageCheckpointer:
             "stage": name,
             "rows": n_rows,
             "schema": out.schema.simpleString(),
+            "content": content_digest,
+            "params": params_key,
             "partitions": part_metrics,
             "upstream": up_fps,
             "fingerprint": fp,
@@ -146,7 +170,7 @@ def run_linkage_checkpointed(
         res = run_linkage(pages, lexicon, entity_types, **linkage_kwargs)
         return res["mentions"].drop("candidates", "filtered_candidates")
 
-    mentions = ck.stage("010_mentions", build_mentions)
+    mentions = ck.stage("010_mentions", build_mentions, params=linkage_kwargs)
 
     def build_edges():
         from pyspark.sql import functions as F
@@ -173,7 +197,9 @@ def run_linkage_checkpointed(
             F.col("a_mention_key").alias("src"), F.col("b_mention_key").alias("dst")
         )
 
-    edges = ck.stage("020_edges", build_edges, upstream=["010_mentions"])
+    edges = ck.stage(
+        "020_edges", build_edges, upstream=["010_mentions"], params=linkage_kwargs
+    )
 
     def build_clusters():
         from pyspark.sql import functions as F
@@ -182,4 +208,7 @@ def run_linkage_checkpointed(
             edges, vertices=mentions.select(F.col("mention_key").alias("node"))
         ).select(F.col("node").alias("mention_key"), F.col("component").alias("entity_cluster"))
 
-    return ck.stage("030_clusters", build_clusters, upstream=["010_mentions", "020_edges"])
+    return ck.stage(
+        "030_clusters", build_clusters,
+        upstream=["010_mentions", "020_edges"], params=linkage_kwargs,
+    )

@@ -37,7 +37,13 @@ def split_into_partials(requests: DataFrame,
     requests: (job_id, texts: array<string>) →
     (job_id, partial_id, n_partials, items: array<string>).
     """
-    n_parts = F.ceil(F.size(texts_col) / F.lit(max_batch_size)).cast("int")
+    # greatest(…, 1): an empty job still yields ONE empty partial, so
+    # n_partials stays a truthful checksum and reassemble_jobs never
+    # silently drops the job (F.sequence(0, -1) would otherwise emit a
+    # phantom descending [0, -1] pair).
+    n_parts = F.greatest(
+        F.ceil(F.size(texts_col) / F.lit(max_batch_size)).cast("int"), F.lit(1)
+    )
     out = requests.select(
         F.col(job_col),
         n_parts.alias("n_partials"),

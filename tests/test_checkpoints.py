@@ -52,6 +52,40 @@ def test_downstream_invalidation(spark, tmp_path):
     assert calls["b"] == 2
 
 
+def test_params_change_invalidates(spark, tmp_path):
+    """Re-running with different build params must NOT resume stale
+    parquet (the fingerprint folds in a caller-supplied params dict)."""
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(4)
+
+    ck = StageCheckpointer(spark, str(tmp_path))
+    ck.stage("010_a", build, params={"score_threshold": 0.92})
+    assert calls["n"] == 1
+    ck.stage("010_a", build, params={"score_threshold": 0.92})
+    assert calls["n"] == 1  # same params → resumed
+    ck.stage("010_a", build, params={"score_threshold": 0.5})
+    assert calls["n"] == 2  # changed params → recomputed
+
+
+def test_content_change_invalidates_downstream(spark, tmp_path):
+    """Same row count + schema but different DATA upstream must change
+    the fingerprint (content digest), invalidating downstream."""
+    ck = StageCheckpointer(spark, str(tmp_path))
+    ck.stage("010_a", lambda: spark.range(5).select((F.col("id") * 1).alias("v")))
+    fp1 = ck.fingerprint("010_a")
+
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "010_a"))
+    ck2 = StageCheckpointer(spark, str(tmp_path))
+    ck2.stage("010_a", lambda: spark.range(5).select((F.col("id") * 7).alias("v")))
+    fp2 = ck2.fingerprint("010_a")
+    assert fp1 != fp2
+
+
 def test_kill_and_restart_midway(spark, tmp_path):
     """Simulate a crash between stages: stage A committed, B not."""
     ck = StageCheckpointer(spark, str(tmp_path))

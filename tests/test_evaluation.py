@@ -44,7 +44,8 @@ def test_weak_projection(spark):
     ann = _ann(spark, [("d1", 2, 4, [("E1", 1.0, "O")])])
     rows = weak_projection(ann).collect()
     assert sorted(r["start"] for r in rows) == [2, 3, 4]
-    assert all(r["start"] == r["end"] for r in rows)
+    # end-exclusive char spans, matching ToWeak (neleval/weak.py:20-21)
+    assert all(r["end"] == r["start"] + 1 for r in rows)
 
 
 def test_error_labels(spark):
@@ -65,11 +66,12 @@ def test_error_labels(spark):
         ("d", 12, 13, [("NIL3", 0.9, "O")]),
     ])
     got = {(r["start"]): r["label"] for r in classify_errors(gold, system).collect()}
-    assert got == {0: "correct-link", 2: "wrong-link", 4: "missing",
+    # label spellings are byte-identical to analyze.py:19-31
+    assert got == {0: "correct link", 2: "wrong-link", 4: "missing",
                    6: "extra", 8: "nil-as-link", 10: "link-as-nil",
-                   12: "correct-nil"}
+                   12: "correct nil"}
     summary = {r["label"]: r["n"] for r in error_summary(classify_errors(gold, system)).collect()}
-    assert summary["correct-link"] == 1 and summary["extra"] == 1
+    assert summary["correct link"] == 1 and summary["extra"] == 1
 
 
 def test_select_alternatives_backoff(spark):
@@ -103,7 +105,8 @@ def test_select_alternatives_backoff(spark):
 
 def test_streaming_split_and_reassemble(spark):
     reqs = spark.createDataFrame(
-        [("j1", [f"t{i}" for i in range(10)]), ("j2", ["a", "b", "c"])],
+        [("j1", [f"t{i}" for i in range(10)]), ("j2", ["a", "b", "c"]),
+         ("j0", [])],  # empty job: one empty partial, never dropped
         "job_id:string, texts:array<string>",
     )
     partials = split_into_partials(reqs, max_batch_size=4)
@@ -113,6 +116,7 @@ def test_streaming_split_and_reassemble(spark):
         by_job.setdefault(r["job_id"], []).append((r["partial_id"], r["items"], r["n_partials"]))
     assert len(by_job["j1"]) == 3 and all(n == 3 for _, _, n in by_job["j1"])
     assert len(by_job["j2"]) == 1
+    assert by_job["j0"] == [(0, [], 1)]  # empty job round-trips
 
     # reassembly: results arrive out of order; drop one partial of j3
     done = partials.withColumnRenamed("items", "results")
@@ -124,6 +128,7 @@ def test_streaming_split_and_reassemble(spark):
     got = {r["job_id"]: r["results"] for r in out.collect()}
     assert got["j1"] == [f"t{i}" for i in range(10)]  # order restored
     assert got["j2"] == ["a", "b", "c"]
+    assert got["j0"] == []  # empty job completes with empty results
     assert "j3" not in got  # checksum incomplete → held back
 
 

@@ -42,5 +42,5 @@ def test_query_matches_oracle(spark, duck, name):
 
     fn = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
-    res = compare(name, fn(spark, SF_DIR), sql, duck)
+    res = compare(name, fn(spark, SF_DIR), sql, duck, strict=True)
     assert res.startswith("OK"), res

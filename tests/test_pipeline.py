@@ -41,6 +41,28 @@ def test_extraction_byte_identical(spark, corpus):
     assert mismatches == 0
 
 
+def test_extraction_multiline_both_paths(spark):
+    """A <p>…</p> spanning newlines must extract identically on the
+    modular (extract_text_udf) and fused (fused_mention_scan) paths —
+    guards the shared EXTRACT_RE (re.S) against flag drift."""
+    from medtype_spark.operators.mentions import fused_mention_scan
+    from medtype_spark.pipeline import extract_pages
+
+    text = "line one corp0 avalanche0 here\nline two follows"
+    html = f"<html><body><p>{text}</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [("u1", None, html, text, "en")],
+        "url:string, warc_ts:timestamp, html:binary, text:string, lang:string",
+    )
+    got = extract_pages(pages).select("extracted_text").collect()[0][0]
+    assert got == text  # modular path sees across the newline
+
+    lex = build_lexicon(5)
+    fused = fused_mention_scan(pages, lex, {})
+    surfaces = {r["mention"] for r in fused.collect()}
+    assert "corp0 avalanche0" in surfaces  # fused path scanned same text
+
+
 def test_gold_mentions_recovered(spark, corpus):
     pages, gold, lex, _ = corpus
     from medtype_spark.operators.mentions import detect_mentions

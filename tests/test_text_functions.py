@@ -41,8 +41,8 @@ def test_clean_text_differential(texts):
 
 
 @given(
-    st.lists(st.text(alphabet='ab "x', max_size=30), min_size=1, max_size=20),
-    st.sampled_from(['"', "a", "x"]),
+    st.lists(st.text(alphabet='ab "x\n', max_size=30), min_size=1, max_size=20),
+    st.sampled_from(['"', "a", "x", " "]),
 )
 @settings(max_examples=200, deadline=None)
 def test_collapse_char_differential(texts, ch):
