@@ -45,20 +45,23 @@ def minhash_signatures(
 
     md5-as-hash-family keeps the signature portable across engines; a
     production swap-in would be xxhash64 with seed i (cheaper, JVM).
+
+    The k mins are k ``min()`` aggregate columns in ONE groupBy — the
+    shuffle moves one row per (doc, partial) instead of the ×k row
+    blow-up an explode(sequence(0, k-1)) would cost, and map-side
+    partial aggregation reduces each input partition to |docs| rows
+    before the exchange.
     """
-    per_hash = shingles.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        "shingle",
-    ).select(
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    mins = shingles.groupBy(id_col).agg(*aggs)
+    return mins.select(
         id_col,
-        "h",
-        F.md5(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle"))).alias("hv"),
-    )
-    mins = per_hash.groupBy(id_col, "h").agg(F.min("hv").alias("mh"))
-    return (
-        mins.groupBy(id_col)
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("h", "mh"))), lambda x: x["mh"]).alias("sig"))
+        F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -91,6 +94,37 @@ def lsh_candidate_pairs(
     b = banded.select(F.col(id_col).alias("b"), "band", "band_hash")
     return (
         a.join(b, ["band", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def capped_candidate_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 50,
+) -> DataFrame:
+    """Candidate pairs from a document-frequency-capped shingle
+    self-join: shingles appearing in more than ``df_cap`` documents are
+    excluded from candidate *generation* (they are stop-phrases that
+    turn the self-join into a hot-key quadratic — the exact bomb LSH
+    banding exists to avoid), so per-shingle work is bounded by
+    df_cap².  Jaccard *verification* downstream still uses ALL
+    shingles, so scores stay exact; only pairs that share nothing but
+    ultra-common shingles are missed — by construction those have
+    intersection made of stop-phrases and near-zero Jaccard in any
+    realistically sized corpus.  SQL-expressible, so the oracle can
+    reproduce it exactly (unlike the minhash-LSH path, which is
+    checked separately via the md5 hash family)."""
+    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare = shingles.join(
+        dfreq.where(F.col("_df") <= df_cap).select("shingle"), "shingle"
+    )
+    a = rare.select(F.col(id_col).alias("a"), "shingle")
+    b = rare.select(F.col(id_col).alias("b"), "shingle")
+    return (
+        a.join(b, "shingle")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates()
@@ -135,17 +169,20 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     ).withColumn("h", F.xxhash64("shingle"))
-    bits = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    )
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
+    # 64 vote sums as 64 aggregate columns in ONE groupBy — the old
+    # explode(sequence(0,63)) multiplied shuffle rows ×64; this keeps
+    # one row per doc and lets partial aggregation combine map-side.
+    vote_aggs = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    votes = sh.groupBy(id_col).agg(*vote_aggs)
+    packed = None
+    for b in range(64):
+        term = F.when(F.col(f"_v{b}") > 0, F.expr(f"shiftleft(1L, {b})")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return votes.select(id_col, packed.alias("simhash"))

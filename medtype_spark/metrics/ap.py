@@ -29,16 +29,27 @@ def average_precision(
     order = [F.desc(score_col)]
     if tiebreak_col:
         order.append(F.asc(tiebreak_col))
-    w = Window.partitionBy(*group_by).orderBy(*order) if group_by else Window.orderBy(*order)
 
-    ranked = scored.select(
-        *group_by,
-        F.col(label_col).cast("double").alias("_rel"),
-        F.row_number().over(w).alias("_k"),
-        F.sum(F.col(label_col).cast("double")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("_tp_at_k"),
-    )
+    if group_by:
+        # per-group windows are already partition-parallel
+        w = Window.partitionBy(*group_by).orderBy(*order)
+        ranked = scored.select(
+            *group_by,
+            F.col(label_col).cast("double").alias("_rel"),
+            F.row_number().over(w).alias("_k"),
+            F.sum(F.col(label_col).cast("double")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("_tp_at_k"),
+        )
+    else:
+        # global ranking WITHOUT a single-task Window.orderBy: range
+        # repartition + partition offsets (operators/ranks.py)
+        from medtype_spark.operators.ranks import with_global_rank
+
+        base = scored.withColumn("_rel", F.col(label_col).cast("double"))
+        ranked = with_global_rank(
+            base, order, rank_col="_k", cum_cols={"_rel": "_tp_at_k"}
+        ).select("_rel", "_k", "_tp_at_k")
     contrib = (F.col("_tp_at_k") / F.col("_k")) * F.col("_rel")
     agg_cols = [
         (F.coalesce(F.sum(contrib) / F.sum("_rel"), F.lit(0.0))).alias("average_precision"),

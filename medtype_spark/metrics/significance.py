@@ -23,7 +23,7 @@ counts: (docid, tp1, fp1, fn1, tp2, fp2, fn2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_TRIALS = 2500  # significance.py:27
@@ -100,10 +100,14 @@ def bootstrap_diffs(
 ) -> DataFrame:
     """R2: per-trial score differences under document resampling with
     replacement (significance.py:73-90).  Returns (trial, diff)."""
+    from medtype_spark.operators.ranks import with_global_rank
+
     spark = per_doc.sparkSession
-    docs = per_doc.withColumn(
-        "_idx", F.row_number().over(Window.orderBy("docid")) - 1
-    )
+    # dense 0-based doc index via partition-parallel global rank — a
+    # bare Window.orderBy would sort every doc through one task
+    docs = with_global_rank(per_doc, [F.asc("docid")], rank_col="_k").withColumn(
+        "_idx", F.col("_k") - 1
+    ).drop("_k")
     n_docs = docs.count()
     slots = spark.range(n_trials).select(F.col("id").alias("trial")).crossJoin(
         spark.range(n_docs).select(F.col("id").alias("slot"))

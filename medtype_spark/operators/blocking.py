@@ -88,23 +88,48 @@ def block_pairs(
     def side(prefix: str) -> DataFrame:
         renames = [F.col(key_col)] + [
             F.col(c).alias(f"{prefix}_{c}") for c in [id_col, *extra_cols]
-        ] + [F.col("_cell").alias(f"{prefix}_cell")]
+        ] + [F.col("_cell").alias(f"{prefix}_cell"),
+             F.col("_ncells").alias(f"{prefix}_ncells")]
         return salted.select(*renames)
 
     a, b = side("a"), side("b")
 
-    # Same-cell pairs: canonical id order within the cell.
+    # Same-cell pairs: canonical id order within the cell.  Shuffle key
+    # is (key, cell) — a hot block spreads over its s cells.
     same = a.join(
-        b,
+        b.drop("b_ncells"),
         on=[a[key_col] == b[key_col], F.col("a_cell") == F.col("b_cell"),
             F.col(f"a_{id_col}") < F.col(f"b_{id_col}")],
-    ).drop(b[key_col])
-    # Cross-cell pairs: cell grid i<j covers each unordered pair once;
-    # canonicalize ids afterwards so downstream sees a<b.
-    cross = a.join(
-        b,
-        on=[a[key_col] == b[key_col], F.col("a_cell") < F.col("b_cell")],
-    ).drop(b[key_col])
+    ).drop(b[key_col]).drop("a_ncells")
+    # Cross-cell pairs via 2D grid replication: grid cell (i, j), i<j,
+    # receives replicas of cell i (as the a side) and cell j (as the b
+    # side), so the JOIN KEY is (key, i, j) — ~s²/2 keys of ~target²
+    # pairs each.  The previous scheme equi-joined on the bare key with
+    # a_cell < b_cell as a post-filter, which put a hot block's entire
+    # (1 - 1/s) cross-cell quadratic inside ONE join partition — the
+    # single-reducer bomb the salt exists to kill.  Replication factor
+    # per row is (s - 1), i.e. shuffle volume stays proportional to the
+    # pair output; cold blocks (s = 1) replicate nothing.
+    a_rep = (
+        a.where(F.col("a_cell") < F.col("a_ncells") - 1)
+        .withColumn(
+            "_gj",
+            F.explode(F.sequence(F.col("a_cell") + 1, F.col("a_ncells") - 1)),
+        )
+        .withColumnRenamed("a_cell", "_gi")
+        .drop("a_ncells")
+    )
+    b_rep = (
+        b.where(F.col("b_cell") > 0)
+        .withColumn("_gi", F.explode(F.sequence(F.lit(0), F.col("b_cell") - 1)))
+        .withColumnRenamed("b_cell", "_gj")
+        .drop("b_ncells")
+    )
+    cross = a_rep.join(b_rep, on=[a_rep[key_col] == b_rep[key_col],
+                                  a_rep["_gi"] == b_rep["_gi"],
+                                  a_rep["_gj"] == b_rep["_gj"]]).drop(
+        b_rep[key_col]
+    ).drop(b_rep["_gi"]).drop(b_rep["_gj"])
 
     out_cols = [key_col] + [f"a_{c}" for c in [id_col, *extra_cols]] + [
         f"b_{c}" for c in [id_col, *extra_cols]

@@ -190,10 +190,20 @@ FROM mins GROUP BY doc_id
 
 ORACLES["q16_ngram_jaccard"] = f"""
 WITH {_SHINGLES3},
+rare AS (
+  SELECT doc_id, shingle FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 )
 SELECT a, b,
@@ -595,6 +605,50 @@ FROM events GROUP BY user_id
 ORACLES["q41_size_histogram"] = """
 SELECT floor(value / 50.0) * 50.0 AS bucket_lo, count(*) AS n
 FROM events GROUP BY 1
+"""
+
+ORACLES["q44_lsh_candidates"] = f"""
+WITH {_SHINGLES3},
+mins AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(0, 8)) AS h)
+  GROUP BY doc_id, h
+),
+banded AS (
+  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY h)) AS band_hash
+  FROM mins GROUP BY doc_id, CAST(h // 2 AS INT)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x
+JOIN banded y ON x.band = y.band AND x.band_hash = y.band_hash
+            AND x.doc_id < y.doc_id
+"""
+
+ORACLES["q45_filter_candidates"] = """
+WITH m(mention_id, cands, pred) AS (VALUES
+  ('m1', ['E1','E2'], ['Anatomy']),
+  ('m2', ['E1','E2'], []::VARCHAR[]),
+  ('m3', ['E2'], ['Anatomy']),
+  ('m4', ['E9','E2'], ['Disorders'])),
+et(eid, types) AS (VALUES ('E1', ['Anatomy']), ('E2', ['Disorders'])),
+ex AS (
+  SELECT mention_id, pred, unnest(cands) AS eid,
+         generate_subscripts(cands, 1) AS pos
+  FROM m
+),
+kept AS (
+  SELECT ex.mention_id, list(ex.eid ORDER BY ex.pos) AS kept
+  FROM ex LEFT JOIN et ON et.eid = ex.eid
+  WHERE len(list_intersect(coalesce(et.types, []::VARCHAR[]), ex.pred)) > 0
+  GROUP BY ex.mention_id
+)
+SELECT m.mention_id,
+       array_to_string(
+         CASE WHEN len(m.pred) = 0 THEN m.cands
+              WHEN kept.kept IS NULL OR len(kept.kept) = 0 THEN m.cands
+              ELSE kept.kept END, '|') AS kept_eids
+FROM m LEFT JOIN kept ON kept.mention_id = m.mention_id
 """
 
 ORACLES["q42_average_precision"] = """

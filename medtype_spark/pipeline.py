@@ -101,6 +101,7 @@ def run_linkage(
     pair_grain: str = "form",
     type_scorer: str = "dict",
     fused: bool = True,
+    with_candidate_filter: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the flagship pipeline; returns the per-stage DataFrames.
 
@@ -158,8 +159,15 @@ def run_linkage(
         else:
             raise ValueError(type_scorer)
 
-    # the MedType candidate filter (J8)
-    mentions = filter_candidates(mentions, entity_types)
+    # The MedType candidate filter (J8) produces per-mention filtered
+    # candidate lists for downstream consumers (serving output, error
+    # analysis).  The flagship's own clustering consumes pred_type via
+    # the pair-level type-agreement prune instead (the north star's
+    # "type-filtered blocking"), so J8 is opt-in here: unconditionally
+    # running it added two mention-grain shuffles whose output nothing
+    # on the hot path read.
+    if with_candidate_filter:
+        mentions = filter_candidates(mentions, entity_types)
     # mention table feeds pair generation (3 consumers), CC vertices,
     # and the returned stage output — persist so the page-scan +
     # mapInPandas + UDF lineage executes exactly once

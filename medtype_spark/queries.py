@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 
 from medtype_spark.dedup.exact import exact_dedup
 from medtype_spark.dedup.minhash import (
+    capped_candidate_pairs,
     doc_shingles,
     jaccard_pairs,
+    lsh_candidate_pairs,
     minhash_signatures,
     simhash64,
 )
@@ -238,16 +240,15 @@ def q15_minhash(spark, sf_dir):
 
 
 def q16_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard over shingle-sharing candidate pairs."""
+    """Exact n-gram Jaccard over df-capped candidate pairs.
+
+    Candidate generation excludes shingles shared by > 50 documents
+    (stop-phrases — the raw shingle self-join is quadratic in a hot
+    shingle's document frequency); Jaccard itself is computed over ALL
+    shingles, so surviving pairs score exactly."""
     d = _t(spark, sf_dir, "documents")
     sh = doc_shingles(d, "text", "doc_id", n=3)
-    cands = (
-        sh.select(F.col("doc_id").alias("a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates()
-    )
+    cands = capped_candidate_pairs(sh, "doc_id", df_cap=50)
     return jaccard_pairs(sh, cands, "doc_id", min_jaccard=0.1).select(
         "a", "b", _r6(F.col("jaccard")).alias("jaccard")
     )
@@ -743,11 +744,56 @@ def q42_average_precision(spark, sf_dir):
     )
 
 
+def q44_lsh_candidates(spark, sf_dir):
+    """MinHash-LSH banding → candidate pairs: the equi-join-on-band
+    path that replaces all-pairs at scale (dedup/minhash.py:65).  The
+    md5 hash family is reproducible in DuckDB, so the full
+    shingle→signature→band→bucket-join chain is oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4)
+
+
+def q45_filter_candidates(spark, sf_dir):
+    """J8 MedType candidate filter with both fallbacks on an inline
+    fixture (.../server/__init__.py:524-544 semantics)."""
+    from medtype_spark.operators.typefilter import filter_candidates
+
+    mentions = spark.createDataFrame(
+        [
+            # types intersect → keep only E1
+            ("m1", [("E1", 0.9), ("E2", 0.8)], ["Anatomy"]),
+            # empty prediction → keep original list
+            ("m2", [("E1", 0.9), ("E2", 0.8)], []),
+            # no candidate survives → fall back to original list
+            ("m3", [("E2", 0.9)], ["Anatomy"]),
+            # unknown eid (not in dimension) → dropped unless fallback
+            ("m4", [("E9", 0.9), ("E2", 0.8)], ["Disorders"]),
+        ],
+        "mention_id:string, candidates:array<struct<eid:string,score:double>>, pred_type:array<string>",
+    )
+    etypes = spark.createDataFrame(
+        [("E1", ["Anatomy"]), ("E2", ["Disorders"])],
+        "eid:string, types:array<string>",
+    )
+    out = filter_candidates(mentions, etypes)
+    # string output (not array) so the value hash is engine-portable
+    return out.select(
+        "mention_id",
+        F.concat_ws(
+            "|", F.transform("filtered_candidates", lambda c: c["eid"])
+        ).alias("kept_eids"),
+    )
+
+
 QUERIES.update({
     "q39_interval_score_sum": q39_interval_score_sum,
     "q40_server_stats": q40_server_stats,
     "q41_size_histogram": q41_size_histogram,
     "q42_average_precision": q42_average_precision,
+    "q44_lsh_candidates": q44_lsh_candidates,
+    "q45_filter_candidates": q45_filter_candidates,
 })
 # rename collisions from the earlier rows-only block
 QUERIES["q50_simhash"] = QUERIES.pop("q40_simhash")

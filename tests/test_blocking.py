@@ -49,6 +49,39 @@ def test_salted_hot_key_exact_cover(spark):
     assert out.count() == len(want)
 
 
+def test_salted_hot_key_pairs_are_distributed(spark):
+    """The hot block's pairs must NOT all land in one shuffle partition:
+    the cross-cell join keys on (key, grid_i, grid_j), so with AQE
+    coalescing disabled the pair rows should span many partitions."""
+    rows = [("hot", f"m{i:03d}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["block_key", "mention_key"])
+    # force the at-scale plan shape: shuffle join (no broadcast of the
+    # tiny test table), no AQE partition coalescing
+    overrides = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        out = block_pairs(df, hot_threshold=50, target_cell=10)
+        per_part = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    total = sum(r["n"] for r in per_part)
+    assert total == 120 * 119 // 2
+    # 12 cells → 66 cross grid keys + 12 same-cell keys; no partition
+    # may hold the whole block's quadratic
+    assert len(per_part) > 4
+    assert max(r["n"] for r in per_part) < 0.5 * total
+
+
 def test_max_block_drops_oversized(spark):
     rows = [("big", f"m{i}") for i in range(30)] + [("ok", "a"), ("ok", "b")]
     df = spark.createDataFrame(rows, ["block_key", "mention_key"])

@@ -51,7 +51,9 @@ def norm_cell_strict(v):
     import datetime
     import math
 
-    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+    if hasattr(v, "tolist") and not isinstance(v, (bytes, str)):
+        v = v.tolist()  # numpy scalar → python scalar; ndarray → list
+    elif hasattr(v, "item") and not isinstance(v, (bytes, str)):
         try:
             v = v.item()
         except (ValueError, AttributeError):
