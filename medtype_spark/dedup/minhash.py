@@ -131,6 +131,51 @@ def capped_candidate_pairs(
     )
 
 
+def capped_jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 50,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over the df-capped shingle space, in ONE self-join.
+
+    Shingles appearing in more than ``df_cap`` documents (stop-phrases)
+    are excluded from BOTH the intersection and the union — the SpotSigs
+    stopword-filtering semantics (Theobald et al., SIGIR 2008).  This
+    buys two scale properties at once: candidate generation is bounded
+    (per-shingle work ≤ df_cap²) AND the intersection count falls out of
+    the generation join itself, so there is no join-back of candidate
+    pairs against full posting lists (the quadratic×fan-out stage that
+    dominates a generate-then-verify plan).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare = shingles.join(
+        dfreq.where(F.col("_df") <= df_cap).select("shingle"), "shingle"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = rare.select(F.col(id_col).alias("a"), "shingle")
+    b = rare.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     candidates: DataFrame,

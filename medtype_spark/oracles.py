@@ -194,16 +194,10 @@ rare AS (
   SELECT doc_id, shingle FROM sh
   QUALIFY count(*) OVER (PARTITION BY shingle) <= 50
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
 inter AS (
-  SELECT c.a, c.b, count(*) AS n_inter
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT a, b,
@@ -649,6 +643,105 @@ SELECT m.mention_id,
               WHEN kept.kept IS NULL OR len(kept.kept) = 0 THEN m.cands
               ELSE kept.kept END, '|') AS kept_eids
 FROM m LEFT JOIN kept ON kept.mention_id = m.mention_id
+"""
+
+# shared gold/system annotation CTEs for the measure-registry queries
+# (must mirror queries._measure_frames exactly)
+_MEASURE_FRAMES = """
+gold AS (
+  SELECT CAST(user_id AS VARCHAR) AS docid,
+         event_id % 1000 AS s,
+         event_id % 1000 + CAST(floor(value) AS BIGINT) % 50 AS e,
+         CASE WHEN event_id % 5 = 0
+              THEN 'E' || (event_id % 37) || '|E' || (event_id % 41)
+              ELSE 'E' || (event_id % 37) END AS kbid
+  FROM events WHERE event_type = 'error'
+),
+sys AS (
+  SELECT CAST(user_id AS VARCHAR) AS docid,
+         event_id % 1000 AS s,
+         event_id % 1000 + CAST(floor(value) AS BIGINT) % 50 AS e,
+         'E' || (event_id % 37 + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS kbid
+  FROM events WHERE event_id % 3 = 0
+)
+"""
+
+_MEASURE_TAIL = """
+SELECT round(p_num, 6) AS p_num, round(p_den, 6) AS p_den,
+       round(r_num, 6) AS r_num, round(r_den, 6) AS r_den,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS fscore
+FROM (
+  SELECT *,
+         CASE WHEN p_den = 0 THEN 0.0 ELSE p_num / p_den END AS p,
+         CASE WHEN r_den = 0 THEN 0.0 ELSE r_num / r_den END AS r
+  FROM nums
+)
+"""
+
+ORACLES["q46_measure_strong_all"] = f"""
+WITH {_MEASURE_FRAMES},
+g AS (SELECT DISTINCT docid, s, e, kbid FROM gold),
+sy AS (SELECT DISTINCT docid, s, e, kbid FROM sys),
+gm AS (SELECT docid, s, e, kbid, unnest(string_split(kbid, '|')) AS kb1 FROM g),
+tp AS (
+  SELECT count(*)::DOUBLE AS v FROM (
+    SELECT DISTINCT docid, s, e, kbid FROM gm
+    WHERE EXISTS (SELECT 1 FROM sy
+                  WHERE sy.docid = gm.docid AND sy.s = gm.s
+                    AND sy.e = gm.e AND sy.kbid = gm.kb1))
+),
+nums AS (
+  SELECT tp.v AS p_num, (SELECT count(*)::DOUBLE FROM sy) AS p_den,
+         tp.v AS r_num, (SELECT count(*)::DOUBLE FROM g) AS r_den
+  FROM tp
+)
+{_MEASURE_TAIL}
+"""
+
+ORACLES["q47_measure_sets_kbid"] = f"""
+WITH {_MEASURE_FRAMES},
+g AS (SELECT DISTINCT kbid FROM gold),
+sy AS (SELECT DISTINCT kbid FROM sys),
+gm AS (SELECT kbid, unnest(string_split(kbid, '|')) AS kb1 FROM g),
+tp AS (
+  SELECT count(*)::DOUBLE AS v FROM (
+    SELECT DISTINCT kbid FROM gm
+    WHERE EXISTS (SELECT 1 FROM sy WHERE sy.kbid = gm.kb1))
+),
+nums AS (
+  SELECT tp.v AS p_num, (SELECT count(*)::DOUBLE FROM sy) AS p_den,
+         tp.v AS r_num, (SELECT count(*)::DOUBLE FROM g) AS r_den
+  FROM tp
+)
+{_MEASURE_TAIL}
+"""
+
+ORACLES["q48_measure_overlap_maxmax"] = f"""
+WITH {_MEASURE_FRAMES},
+g AS (SELECT *, row_number() OVER () AS gid FROM gold),
+sy AS (SELECT *, row_number() OVER () AS sid FROM sys),
+gm AS (SELECT gid, docid, s, e, unnest(string_split(kbid, '|')) AS kb1 FROM g),
+matched AS (
+  SELECT sy.sid, gm.gid, sy.s AS ss, sy.e AS se, gm.s AS gs, gm.e AS ge
+  FROM sy JOIN gm ON sy.docid = gm.docid AND sy.kbid = gm.kb1
+                 AND gm.s <= sy.e AND gm.e >= sy.s
+),
+sys_cov AS (
+  SELECT sid, max((least(se, ge) - greatest(ss, gs) + 1)::DOUBLE / (se - ss + 1)) AS cov
+  FROM matched GROUP BY sid
+),
+gold_cov AS (
+  SELECT gid, max((least(se, ge) - greatest(ss, gs) + 1)::DOUBLE / (ge - gs + 1)) AS cov
+  FROM matched GROUP BY gid
+),
+nums AS (
+  SELECT (SELECT coalesce(sum(cov), 0.0) FROM sys_cov) AS p_num,
+         (SELECT count(*)::DOUBLE FROM sy) AS p_den,
+         (SELECT coalesce(sum(cov), 0.0) FROM gold_cov) AS r_num,
+         (SELECT count(*)::DOUBLE FROM g) AS r_den
+)
+{_MEASURE_TAIL}
 """
 
 ORACLES["q42_average_precision"] = """

@@ -240,16 +240,17 @@ def q15_minhash(spark, sf_dir):
 
 
 def q16_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard over df-capped candidate pairs.
+    """Exact n-gram Jaccard over the df-capped shingle space.
 
-    Candidate generation excludes shingles shared by > 50 documents
-    (stop-phrases — the raw shingle self-join is quadratic in a hot
-    shingle's document frequency); Jaccard itself is computed over ALL
-    shingles, so surviving pairs score exactly."""
+    Stop-phrase shingles (document frequency > 50) are excluded from
+    both intersection and union (SpotSigs semantics): generation work
+    is bounded per shingle AND the intersection count falls out of the
+    single self-join — no join-back of pairs against posting lists."""
+    from medtype_spark.dedup.minhash import capped_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents")
     sh = doc_shingles(d, "text", "doc_id", n=3)
-    cands = capped_candidate_pairs(sh, "doc_id", df_cap=50)
-    return jaccard_pairs(sh, cands, "doc_id", min_jaccard=0.1).select(
+    return capped_jaccard_pairs(sh, "doc_id", df_cap=50, min_jaccard=0.1).select(
         "a", "b", _r6(F.col("jaccard")).alias("jaccard")
     )
 
@@ -787,6 +788,72 @@ def q45_filter_candidates(spark, sf_dir):
     )
 
 
+def _measure_frames(spark, sf_dir):
+    """Deterministic gold/system annotation frames derived from events
+    (same span derivation as q27/q39) for measure-registry queries."""
+    e = _t(spark, sf_dir, "events")
+    span = [
+        F.col("user_id").cast("string").alias("docid"),
+        (F.col("event_id") % 1000).alias("start"),
+        (F.col("event_id") % 1000 + F.floor("value").cast("long") % 50).alias("end"),
+    ]
+
+    def cands(eid_col):
+        return F.array(F.struct(
+            eid_col.alias("eid"), F.lit(1.0).alias("score"), F.lit("O").alias("type"),
+        )).alias("candidates")
+
+    g_eid = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(F.lit("E"), (F.col("event_id") % 37).cast("string"),
+                 F.lit("|E"), (F.col("event_id") % 41).cast("string")),
+    ).otherwise(F.concat(F.lit("E"), (F.col("event_id") % 37).cast("string")))
+    gold = e.where(F.col("event_type") == "error").select(*span, cands(g_eid))
+
+    s_eid = F.concat(
+        F.lit("E"),
+        ((F.col("event_id") % 37) + (F.col("event_id") % 7 == 0).cast("long")).cast("string"),
+    )
+    system = e.where(F.col("event_id") % 3 == 0).select(*span, cands(s_eid))
+    return gold, system
+
+
+def _measure_out(df):
+    return df.select(
+        _r6(F.col("p_num")).alias("p_num"), _r6(F.col("p_den")).alias("p_den"),
+        _r6(F.col("r_num")).alias("r_num"), _r6(F.col("r_den")).alias("r_den"),
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("fscore")).alias("fscore"),
+    )
+
+
+def q46_measure_strong_all(spark, sf_dir):
+    """Measure registry: strong_all_match = sets::span+kbid — the
+    trainer's default measure (eval_models.py:83, configs.py:145)."""
+    from medtype_spark.evaluation.measures import evaluate_measure
+
+    gold, system = _measure_frames(spark, sf_dir)
+    return _measure_out(evaluate_measure(gold, system, "strong_all_match"))
+
+
+def q47_measure_sets_kbid(spark, sf_dir):
+    """Measure registry: sets::kbid (document-collection id sets)."""
+    from medtype_spark.evaluation.measures import evaluate_measure
+
+    gold, system = _measure_frames(spark, sf_dir)
+    return _measure_out(evaluate_measure(gold, system, "sets::kbid"))
+
+
+def q48_measure_overlap_maxmax(spark, sf_dir):
+    """Measure registry: overlap-maxmax::span+kbid (partial-overlap
+    credit, annotation.py:462-516)."""
+    from medtype_spark.evaluation.measures import evaluate_measure
+
+    gold, system = _measure_frames(spark, sf_dir)
+    return _measure_out(evaluate_measure(gold, system, "overlap-maxmax::span+kbid"))
+
+
 QUERIES.update({
     "q39_interval_score_sum": q39_interval_score_sum,
     "q40_server_stats": q40_server_stats,
@@ -794,6 +861,9 @@ QUERIES.update({
     "q42_average_precision": q42_average_precision,
     "q44_lsh_candidates": q44_lsh_candidates,
     "q45_filter_candidates": q45_filter_candidates,
+    "q46_measure_strong_all": q46_measure_strong_all,
+    "q47_measure_sets_kbid": q47_measure_sets_kbid,
+    "q48_measure_overlap_maxmax": q48_measure_overlap_maxmax,
 })
 # rename collisions from the earlier rows-only block
 QUERIES["q50_simhash"] = QUERIES.pop("q40_simhash")
