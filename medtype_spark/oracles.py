@@ -744,6 +744,15 @@ nums AS (
 {_MEASURE_TAIL}
 """
 
+ORACLES["q49_tac_scan"] = """
+SELECT column0 AS docid, column1 AS start, column2 AS "end",
+       column3 AS eid, column4 AS score, column5 AS type
+FROM read_csv('/root/repo/tests/fixtures/tac_gold.combined.tsv',
+              delim='\t', header=false,
+              columns={'column0':'VARCHAR','column1':'BIGINT','column2':'BIGINT',
+                       'column3':'VARCHAR','column4':'DOUBLE','column5':'VARCHAR'})
+"""
+
 ORACLES["q42_average_precision"] = """
 WITH scored AS (
   SELECT vec_id, embedding[1]::DOUBLE AS score,

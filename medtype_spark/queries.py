@@ -854,6 +854,26 @@ def q48_measure_overlap_maxmax(spark, sf_dir):
     return _measure_out(evaluate_measure(gold, system, "overlap-maxmax::span+kbid"))
 
 
+def q49_tac_scan(spark, sf_dir):
+    """S6: TAC XML+tab scan on the reference's own golden example files;
+    the oracle reads the reference's pre-combined TSV — so parse parity
+    is driver-checked, mirroring neleval/test.py:41-47."""
+    from medtype_spark.sources.tac import prepare_tac
+
+    got = prepare_tac(
+        spark,
+        "/root/repo/tests/fixtures/tac_gold.tab",
+        "/root/repo/tests/fixtures/tac_gold.xml",
+    )
+    top = F.try_element_at("candidates", F.lit(1))
+    return got.select(
+        "docid", "start", "end",
+        top["eid"].alias("eid"),
+        top["score"].alias("score"),
+        top["type"].alias("type"),
+    )
+
+
 QUERIES.update({
     "q39_interval_score_sum": q39_interval_score_sum,
     "q40_server_stats": q40_server_stats,
@@ -864,6 +884,7 @@ QUERIES.update({
     "q46_measure_strong_all": q46_measure_strong_all,
     "q47_measure_sets_kbid": q47_measure_sets_kbid,
     "q48_measure_overlap_maxmax": q48_measure_overlap_maxmax,
+    "q49_tac_scan": q49_tac_scan,
 })
 # rename collisions from the earlier rows-only block
 QUERIES["q50_simhash"] = QUERIES.pop("q40_simhash")
