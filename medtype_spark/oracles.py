@@ -753,6 +753,38 @@ FROM read_csv('/root/repo/tests/fixtures/tac_gold.combined.tsv',
                        'column3':'VARCHAR','column4':'DOUBLE','column5':'VARCHAR'})
 """
 
+def _type_remap_sql() -> str:
+    import json
+    import os
+
+    cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "config")
+    remap = json.load(open(os.path.join(cfg, "type_remap.json")))
+    t2i = json.load(open(os.path.join(cfg, "type2id.json")))
+    fine = sorted(remap)
+    fine_list = "[" + ", ".join(f"'{x}'" for x in fine) + "]"
+    rows = ",\n  ".join(
+        f"('{k}', {t2i[remap[k]]}, '{remap[k]}')" for k in fine
+    )
+    return f"""
+WITH remap(fine, gid, grp) AS (VALUES
+  {rows}),
+docs AS (
+  SELECT doc_id,
+         [{fine_list}[(doc_id % 127 + 1)::INT],
+          {fine_list}[((doc_id * 7 + 3) % 127 + 1)::INT]] AS labs
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(labs) AS lab FROM docs),
+j AS (SELECT DISTINCT doc_id, gid, grp FROM ex JOIN remap ON lab = fine)
+SELECT doc_id,
+       string_agg(gid::VARCHAR, ',' ORDER BY gid) AS label_ids,
+       string_agg(grp, ',' ORDER BY grp) AS coarse
+FROM j GROUP BY doc_id
+"""
+
+
+ORACLES["q54_type_remap"] = _type_remap_sql()
+
 ORACLES["q42_average_precision"] = """
 WITH scored AS (
   SELECT vec_id, embedding[1]::DOUBLE AS score,

@@ -887,6 +887,57 @@ QUERIES.update({
     "q49_tac_scan": q49_tac_scan,
 })
 # rename collisions from the earlier rows-only block
+def q54_type_remap(spark, sf_dir):
+    """J11: 127-fine → 24-coarse → id remap chain over deterministic
+    per-document label pairs (medtype.py:29-31,41,50)."""
+    from medtype_spark.functions.typemap import (
+        coarse_type_col,
+        load_type_remap,
+        remap_type_col,
+    )
+
+    fine = sorted(load_type_remap())
+    arr = F.array(*[F.lit(x) for x in fine])
+    d = _t(spark, sf_dir, "documents")
+    labs = F.array(
+        F.element_at(arr, (F.col("doc_id") % 127 + 1).cast("int")),
+        F.element_at(arr, ((F.col("doc_id") * 7 + 3) % 127 + 1).cast("int")),
+    )
+    base = d.select("doc_id", labs.alias("labels"))
+    return base.select(
+        "doc_id",
+        F.concat_ws(",", remap_type_col(F.col("labels"))).alias("label_ids"),
+        F.concat_ws(",", coarse_type_col(F.col("labels"))).alias("coarse"),
+    )
+
+
+def q55_token_batches(spark, sf_dir):
+    """P4+W5: token-window assembly → length-sorted padded batches →
+    mask-aware batched stub scoring (no SQL oracle: stub tokenizer ids
+    are crc32-based).  Emits per-batch shape stats."""
+    from medtype_spark.operators.batching import (
+        assemble_token_windows,
+        length_sorted_batches,
+        score_batches,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("mention_key"), "text",
+        F.lit(0).alias("start_offset"),
+        F.least(F.length("text"), F.lit(12)).alias("end_offset"),
+    )
+    win = assemble_token_windows(d)
+    batches = score_batches(length_sorted_batches(win, batch_size=16))
+    return batches.select(
+        F.size("keys").alias("n_rows"),
+        F.size(F.element_at("tok_pad", 1)).alias("width"),
+        F.aggregate("tok_len", F.lit(0), lambda a, x: a + x).alias("real_tokens"),
+        F.size("probs").alias("n_scored"),
+    )
+
+
+QUERIES["q55_token_batches"] = q55_token_batches
+QUERIES["q54_type_remap"] = q54_type_remap
 QUERIES["q50_simhash"] = QUERIES.pop("q40_simhash")
 QUERIES["q51_lsh_topk"] = QUERIES.pop("q41_lsh_topk")
 QUERIES["q52_stub_type_scorer"] = QUERIES.pop("q42_stub_type_scorer")
