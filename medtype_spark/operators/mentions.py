@@ -22,6 +22,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+def build_alias_pattern(aliases) -> re.Pattern:
+    """Compile an alias lexicon into a trie-structured regex.
+
+    A flat longest-first alternation (``a1|a2|...``) costs the regex
+    engine O(|aliases|) alternative attempts per text position and
+    breaks down entirely around 10^5 alternatives — unusable against a
+    UMLS-scale lexicon (57k aliases, Readme.md:83-95).  Compiling the
+    lexicon as a character trie (the Aho-Corasick automaton shape,
+    expressed as a regex so matching stays in the C engine) bounds
+    per-position work by the trie depth, independent of alias count.
+
+    Longest-match semantics are preserved: at every trie node the
+    continuation group is a GREEDY optional (``(?:...)?``), so the
+    engine tries the longer alias first and backtracks to the shorter
+    terminal only if the trailing boundary rejects — byte-for-byte the
+    behavior of the longest-first alternation it replaces
+    (differential-tested in tests/test_mention_scan.py).
+    """
+    trie: dict = {}
+    for w in aliases:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = True  # terminal marker
+
+    def emit(node: dict) -> str:
+        children = [(ch, sub) for ch, sub in node.items() if ch != ""]
+        terminal = "" in node
+        if not children:
+            return ""
+        parts = [re.escape(ch) + emit(sub) for ch, sub in sorted(children)]
+        body = parts[0] if len(parts) == 1 else "(?:" + "|".join(parts) + ")"
+        return f"(?:{body})?" if terminal else body
+
+    parts = [re.escape(ch) + emit(sub) for ch, sub in sorted(trie.items()) if ch != ""]
+    core = "|".join(parts)
+    return re.compile(rf"(?<![0-9A-Za-z])({core})(?![0-9A-Za-z])")
+
+
 MENTION_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("start_offset", T.LongType()),
@@ -58,12 +97,7 @@ def detect_mentions(
             alias_map.setdefault(alias, []).append((eid, float(score)))
         for cands in alias_map.values():
             cands.sort(key=lambda c: (-c[1], c[0]))
-        # longest-first alternation so the longest surface form wins
-        pattern = re.compile(
-            r"(?<![0-9A-Za-z])("
-            + "|".join(re.escape(a) for a in sorted(alias_map, key=len, reverse=True))
-            + r")(?![0-9A-Za-z])"
-        )
+        pattern = build_alias_pattern(alias_map)
         for pdf in batches:
             out = []
             for url, text in zip(pdf[url_col], pdf[text_col]):
@@ -141,11 +175,7 @@ def fused_mention_scan(
             alias_map.setdefault(alias, []).append((eid, float(score)))
         for cands in alias_map.values():
             cands.sort(key=lambda c: (-c[1], c[0]))
-        pattern = re.compile(
-            r"(?<![0-9A-Za-z])("
-            + "|".join(re.escape(a) for a in sorted(alias_map, key=len, reverse=True))
-            + r")(?![0-9A-Za-z])"
-        )
+        pattern = build_alias_pattern(alias_map)
         extract_re = EXTRACT_RE
         norm_cache: dict[str, tuple[str, str, list[str]]] = {}
 
