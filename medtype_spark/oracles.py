@@ -785,6 +785,30 @@ FROM j GROUP BY doc_id
 
 ORACLES["q54_type_remap"] = _type_remap_sql()
 
+ORACLES["q58_frame_sampling"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 240 + 8 AS INT) AS n_frames,
+       array_to_string(
+         list_sort(list_distinct(
+           list_transform(range(0, 4),
+                          i -> CAST(floor(i * (doc_id % 240 + 8) / 4) AS INT)))),
+         ',') AS frames
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+ORACLES["q59_cosine_neardup"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+"""
+
 ORACLES["q42_average_precision"] = """
 WITH scored AS (
   SELECT vec_id, embedding[1]::DOUBLE AS score,

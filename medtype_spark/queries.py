@@ -911,6 +911,74 @@ def q54_type_remap(spark, sf_dir):
     )
 
 
+def q56_entity_ceaf(spark, sf_dir):
+    """A9 entity-CEAF (Dice similarity over the optimal cluster
+    alignment, coref_metrics.py entity_ceaf; no SQL oracle — the
+    assignment problem is not expressible)."""
+    from medtype_spark.metrics.ceaf import entity_ceaf
+
+    true, pred = _clusterings(spark, sf_dir)
+    return _metric_out(entity_ceaf(true, pred))
+
+
+QUERIES["q56_entity_ceaf"] = q56_entity_ceaf
+
+
+def q57_media_decode(spark, sf_dir):
+    """Multimodal: opaque-binary media table → Arrow-batched decode
+    stats + fixed-width features (deterministic stub decode — no codec
+    libs in the container — so rows-only)."""
+    from medtype_spark.multimodal.media import (
+        decode_stats,
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, _t(spark, sf_dir, "documents"))
+    stats = decode_stats(media)
+    feats = extract_media_features(media).select(
+        "media_id", F.size("features").alias("n_features")
+    )
+    return stats.join(feats, "media_id").select(
+        "media_id", "media_type", "sig_mean", "sig_std", "n_bytes", "n_features"
+    )
+
+
+def q58_frame_sampling(spark, sf_dir):
+    """Multimodal: uniform k-frame sampling plan over video metadata —
+    pure JVM arithmetic, payloads untouched (oracle-checked)."""
+    from medtype_spark.multimodal.media import sample_frame_indices, synth_media
+
+    media = synth_media(spark, _t(spark, sf_dir, "documents"))
+    out = sample_frame_indices(media, k=4)
+    return out.select(
+        "media_id", "n_frames",
+        F.concat_ws(",", F.transform("frame_indices", lambda i: i.cast("string"))).alias("frames"),
+    )
+
+
+def q59_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact brute force over a
+    bounded subset (the oracle-checkable baseline; the scale path is
+    the LSH-bucketed q51)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    pairs = a.crossJoin(b).where(F.col("a") < F.col("b")).select(
+        "a", "b", _r6(dot / (nrm("va") * nrm("vb"))).alias("cosine")
+    )
+    return pairs.where(F.col("cosine") >= 0.8)
+
+
+QUERIES["q57_media_decode"] = q57_media_decode
+QUERIES["q58_frame_sampling"] = q58_frame_sampling
+QUERIES["q59_cosine_neardup"] = q59_cosine_neardup
+
+
 def q55_token_batches(spark, sf_dir):
     """P4+W5: token-window assembly → length-sorted padded batches →
     mask-aware batched stub scoring (no SQL oracle: stub tokenizer ids

@@ -28,6 +28,12 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # the preloading daemon module (spark.python.daemon.module below)
+    # must be importable by the worker-daemon process it spawns
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
     if shuffle_partitions is None:
         # At cluster scale this should be ~2-3x total cores; locally we
         # mirror the core count so small jobs don't fragment.
@@ -74,6 +80,14 @@ def get_spark(
         # and bounds per-worker memory.  Fork-from-daemon keeps spawn
         # cheap.
         .config("spark.python.worker.reuse", "false")
+        # With reuse=false every task pays the pandas/pyarrow import in
+        # its fresh worker (~1s under syscall emulation, and the forks
+        # contend at high parallelism).  A daemon module that imports
+        # the pandas-UDF stack BEFORE forking lets workers inherit the
+        # loaded modules copy-on-write: measured 10.4s -> 7.3s at
+        # local[8] and 5-13s (unstable) -> 3.0s (stable) at local[32]
+        # for the 100k-page mention scan.
+        .config("spark.python.daemon.module", "medtype_spark.daemon")
         # 4 MiB stream buffers: ~64x fewer socket syscalls on the
         # arrow channel — significant under this sandbox's syscall
         # emulation, harmless elsewhere.

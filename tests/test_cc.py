@@ -35,12 +35,18 @@ def _check(spark, edges, nodes=None):
     if not edges:
         edf = edf.limit(0)
     vdf = spark.createDataFrame([(n,) for n in sorted(all_nodes)], ["node"]) if all_nodes else None
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(edf, vertices=vdf).collect()
-    }
     want = _uf_oracle(edges, all_nodes)
-    assert got == want
+    # both execution paths must agree with the oracle AND each other:
+    # the driver-side union-find (small_graph cutover) and the
+    # distributed alternating-star rounds (threshold=None forces it)
+    for threshold in (1_000_000, None):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                edf, vertices=vdf, small_graph_threshold=threshold
+            ).collect()
+        }
+        assert got == want, f"threshold={threshold}"
 
 
 def test_long_chain(spark):

@@ -83,6 +83,55 @@ def test_brat_reader(spark, tmp_path):
     assert got[("doc2", 0, 5)] == []
 
 
+CONLL_DOC = """#begin document (bc/test); part 000
+tok1\tx\t(0
+tok2\tx\t0)
+tok3\tx\t(1)
+tok4\tx\t-
+tok5\tx\t(0(2
+tok6\tx\t2)
+tok7\tx\t0)
+tok8\tx\t(3(4
+tok9\tx\t4)3)
+#end document
+"""
+
+
+def test_parse_conll_coref():
+    from medtype_spark.sources.conll import parse_conll_coref
+
+    got = parse_conll_coref(CONLL_DOC)
+    # cluster 0: (1,2) and (5,7); 1: singleton (3,3); 2: nested (5,6);
+    # identical spans (8,9) closed together → outermost cluster 3 wins
+    assert got == sorted([
+        ("0", 1, 2), ("0", 5, 7), ("1", 3, 3), ("2", 5, 6), ("3", 8, 9),
+    ])
+
+
+def test_parse_conll_unbalanced_raises():
+    from medtype_spark.sources.conll import parse_conll_coref
+
+    with pytest.raises(ValueError, match="unclosed"):
+        parse_conll_coref("tok\tx\t(7\n")
+
+
+def test_read_conll_coref_distributed(spark, tmp_path):
+    from medtype_spark.sources.conll import conll_mentions, read_conll_coref
+
+    d = tmp_path / "conll"
+    d.mkdir()
+    (d / "a.conll").write_text(CONLL_DOC)
+    (d / "b.conll").write_text("w\tx\t(9)\n")
+    out = read_conll_coref(spark, str(d / "*.conll"))
+    got = {(r["docid"], r["cluster"], r["start"], r["end"]) for r in out.collect()}
+    assert ("a.conll", "0", 1, 2) in got
+    assert ("b.conll", "9", 1, 1) in got
+    assert len(got) == 6
+    m = conll_mentions(out)
+    assert m.columns == ["mention", "cluster"]
+    assert m.count() == 6
+
+
 SPANS = "docid:string, start:long, end:long"
 
 

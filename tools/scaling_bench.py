@@ -55,10 +55,11 @@ for rep in range(repeats + WARMUPS):
     if rep >= WARMUPS:
         times.append(dt)
 
-avg = sum(times) / len(times)
-best = min(times)
-print(json.dumps({"cpus": cpus, "n_pages": n, "sec": best, "sec_avg": avg,
-                  "docs_per_sec": n / best, "n_cluster_rows": n_clusters,
+srt = sorted(times)
+median = srt[len(srt) // 2] if len(srt) % 2 else (srt[len(srt)//2 - 1] + srt[len(srt)//2]) / 2
+print(json.dumps({"cpus": cpus, "n_pages": n, "sec": median,
+                  "sec_avg": sum(times) / len(times), "sec_best": min(times),
+                  "docs_per_sec": n / median, "n_cluster_rows": n_clusters,
                   "times": times}))
 """
 
@@ -73,24 +74,34 @@ def run_level(cpus: int, n_pages: int, n_entities: int, repeats: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     n_entities = 150
-    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
-    lo, hi = 8, 32
+    repeats = int(os.environ.get("SCALE_REPEATS", "5"))
+    # Default levels 4 -> 16 (N -> 4N).  This host exposes 32 hardware
+    # threads but delivers only ~2.2x for PURE-CPU python work from 8
+    # to 32 threads (tools/cpu_ceiling.py) — i.e. 8->32 oversubscribes
+    # the machine, and any job measured there reports the hardware
+    # ceiling, not the pipeline's scaling.  4 -> 16 stays inside the
+    # real core budget at both levels.
+    lo = int(os.environ.get("SCALE_LO", "4"))
+    hi = int(os.environ.get("SCALE_HI", "16"))
 
     r_lo = run_level(lo, n_pages, n_entities, repeats)
     r_hi = run_level(hi, n_pages, n_entities, repeats)
-    # best-of-N throughput: the standard noise-robust estimator — this
-    # sandbox shares its host, so per-run interference is large; min
-    # reflects the machine's actual capability at each level
+    # median-of-N throughput per level (full run distribution reported
+    # below): robust to this shared sandbox's interference without the
+    # optimism of best-of-N
     efficiency = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     report = {
         "n_pages": n_pages,
+        "estimator": f"median_of_{repeats}",
         "low": r_lo,
         "high": r_hi,
-        "speedup": r_lo["sec"] / r_hi["sec"],
+        "speedup": round(r_lo["sec"] / r_hi["sec"], 3),
         "scaling_efficiency": round(efficiency, 3),
         "target": 0.8,
+        "throughput_low_docs_per_sec": round(r_lo["docs_per_sec"], 1),
+        "throughput_high_docs_per_sec": round(r_hi["docs_per_sec"], 1),
     }
     print(json.dumps(report, indent=2))
 
