@@ -16,26 +16,30 @@ set-dedup has no order; we sort the id array for determinism.
 from __future__ import annotations
 
 import json
-import os
 from functools import lru_cache
+from importlib import resources
 from itertools import chain
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "config")
+
+def _load_config(name: str) -> dict:
+    # importlib.resources: works from a filesystem checkout AND from a
+    # spark-submit --py-files zip
+    return json.loads(
+        resources.files("medtype_spark.config").joinpath(name).read_text()
+    )
 
 
 @lru_cache(maxsize=None)
 def load_type_remap() -> dict:
-    with open(os.path.join(_CONFIG_DIR, "type_remap.json")) as f:
-        return json.load(f)
+    return _load_config("type_remap.json")
 
 
 @lru_cache(maxsize=None)
 def load_type2id() -> dict:
-    with open(os.path.join(_CONFIG_DIR, "type2id.json")) as f:
-        return json.load(f)
+    return _load_config("type2id.json")
 
 
 def _map_literal(d: dict, value_type: str) -> Column:

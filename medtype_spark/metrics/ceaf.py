@@ -79,27 +79,20 @@ def _hungarian_max(cost: np.ndarray) -> float:
     return -total
 
 
-def _components(pairs):
-    """Union-find over the (tc, pc) bipartite overlap graph."""
-    parent = {}
+def _solve_component(pdf):
+    """One overlap-component's assignment subproblem (runs on a worker
+    via applyInPandas; whole-component rows are the only thing that
+    ever localizes)."""
+    import pandas as pd
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for tc, pc, _ in pairs:
-        a, b = ("t", tc), ("p", pc)
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    comps = {}
-    for tc, pc, sim in pairs:
-        comps.setdefault(find(("t", tc)), []).append((tc, pc, sim))
-    return comps.values()
+    tcs = sorted(set(pdf["tc"]), key=str)
+    pcs = sorted(set(pdf["pc"]), key=str)
+    ti = {c: i for i, c in enumerate(tcs)}
+    pi = {c: i for i, c in enumerate(pcs)}
+    mat = np.zeros((len(tcs), len(pcs)))
+    for tc, pc, sim in zip(pdf["tc"], pdf["pc"], pdf["sim"]):
+        mat[ti[tc], pi[pc]] = sim
+    return pd.DataFrame({"num": [_hungarian_max(mat)]})
 
 
 def ceaf(
@@ -113,50 +106,65 @@ def ceaf(
 
     per coref_metrics.py:443-449: num = max-assignment similarity;
     p_den = Σ_p sim(p,p); r_den = Σ_t sim(t,t).
+
+    Scale shape: the similarity contingency, the component
+    decomposition (connected components over the bipartite cluster-
+    overlap graph — the reference's ``_disjoint_max_assignment`` trick,
+    :407-440), the denominators, and the final sum are ALL distributed;
+    only one overlap component at a time is dense-solved, inside an
+    ``applyInPandas`` worker.  Nothing cluster-count-sized ever
+    collects to the driver (the round-1 version collected the full
+    contingency + every cluster size — a driver OOM at 10^12 docs).
     """
-    spark = true.sparkSession
+    from medtype_spark.operators.cc import connected_components
+
     t = true.select(F.col(mention).alias("m"), F.col(cluster).alias("c")).dropDuplicates()
     p = pred.select(F.col(mention).alias("m"), F.col(cluster).alias("c")).dropDuplicates()
 
-    inter = (
-        t.join(p.withColumnRenamed("c", "pc"), "m")
-        .groupBy("c", "pc")
-        .agg(F.count(F.lit(1)).alias("n_tp"))
-    )
-    t_sizes = {r["c"]: r["n"] for r in t.groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()}
-    p_sizes = {r["c"]: r["n"] for r in p.groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()}
+    t_sz = t.groupBy("c").agg(F.count(F.lit(1)).alias("n_t")).withColumnRenamed("c", "tc")
+    p_sz = p.groupBy("c").agg(F.count(F.lit(1)).alias("n_p")).withColumnRenamed("c", "pc")
 
-    rows = inter.collect()
+    inter = (
+        t.withColumnRenamed("c", "tc")
+        .join(p.withColumnRenamed("c", "pc"), "m")
+        .groupBy("tc", "pc")
+        .agg(F.count(F.lit(1)).alias("n_tp"))
+        .join(t_sz, "tc")
+        .join(p_sz, "pc")
+    )
     if similarity == "overlap":
-        pairs = [(r["c"], r["pc"], float(r["n_tp"])) for r in rows]
-        p_den = float(sum(p_sizes.values()))
-        r_den = float(sum(t_sizes.values()))
+        sim = F.col("n_tp").cast("double")
+        p_den = p.agg(F.count(F.lit(1)).cast("double").alias("p_den"))
+        r_den = t.agg(F.count(F.lit(1)).cast("double").alias("r_den"))
     elif similarity == "dice":
-        pairs = [
-            (r["c"], r["pc"], 2.0 * r["n_tp"] / (t_sizes[r["c"]] + p_sizes[r["pc"]]))
-            for r in rows
-        ]
-        p_den = float(len(p_sizes))
-        r_den = float(len(t_sizes))
+        sim = 2.0 * F.col("n_tp") / (F.col("n_t") + F.col("n_p"))
+        p_den = p_sz.agg(F.count(F.lit(1)).cast("double").alias("p_den"))
+        r_den = t_sz.agg(F.count(F.lit(1)).cast("double").alias("r_den"))
     else:
         raise ValueError(similarity)
 
-    # decompose into overlap components (coref_metrics.py:407-440),
-    # Hungarian per component
-    num = 0.0
-    for comp in _components(pairs):
-        tcs = sorted({tc for tc, _, _ in comp}, key=str)
-        pcs = sorted({pc for _, pc, _ in comp}, key=str)
-        mat = np.zeros((len(tcs), len(pcs)))
-        ti = {c: i for i, c in enumerate(tcs)}
-        pi = {c: i for i, c in enumerate(pcs)}
-        for tc, pc, sim in comp:
-            mat[ti[tc], pi[pc]] = sim
-        num += _hungarian_max(mat)
+    scored = inter.select(
+        F.concat(F.lit("t:"), F.col("tc").cast("string")).alias("t_node"),
+        F.concat(F.lit("p:"), F.col("pc").cast("string")).alias("p_node"),
+        F.col("tc").cast("string").alias("tc"),
+        F.col("pc").cast("string").alias("pc"),
+        sim.alias("sim"),
+    )
+    comp = connected_components(
+        scored.select(F.col("t_node").alias("src"), F.col("p_node").alias("dst"))
+    )
+    labeled = scored.join(
+        comp.withColumnRenamed("node", "t_node"), "t_node"
+    ).select("component", "tc", "pc", "sim")
 
-    row = spark.createDataFrame(
-        [(float(num), float(p_den), float(num), float(r_den))],
-        "p_num:double, p_den:double, r_num:double, r_den:double",
+    per_comp = labeled.groupBy("component").applyInPandas(
+        _solve_component, schema="num double"
+    )
+    num = per_comp.agg(F.coalesce(F.sum("num"), F.lit(0.0)).alias("num"))
+
+    row = num.crossJoin(p_den).crossJoin(r_den).select(
+        F.col("num").alias("p_num"), "p_den",
+        F.col("num").alias("r_num"), "r_den",
     )
     return prf_row(row)
 

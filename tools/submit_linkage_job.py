@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--entities", type=int, default=50)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--output", default=None)
+    ap.add_argument("--pages-table", default=None,
+                    help="read the input from an Iceberg-layout pages "
+                         "table (sources/pages_table.py) instead of "
+                         "generating it; also writes one when --output "
+                         "is set")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,9 +44,22 @@ def main():
         run_linkage,
     )
 
+    from medtype_spark.sources.pages_table import (
+        read_pages_table,
+        write_pages_table,
+    )
+
     pages, gold = synth_pages(
         spark, args.pages, n_entities=args.entities, seed=args.seed
     )
+    if args.pages_table:
+        # persist + reread through the Iceberg-layout table so the
+        # pipeline consumes a partitioned scan (pushdown-able), the
+        # north-rule input shape
+        write_pages_table(pages, args.pages_table)
+        pages = read_pages_table(spark, args.pages_table).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
     lex = build_lexicon(args.entities)
     etypes = entity_types_df(spark, args.entities)
     result = run_linkage(pages, lex, etypes)
