@@ -28,12 +28,17 @@ def word_shingles(col, n: int = 3):
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+                 n: int = 3, distinct: bool = True) -> DataFrame:
+    """(id, shingle) pairs, deduplicated by default.
+
+    ``distinct=False`` skips the dedup SHUFFLE for consumers that are
+    duplicate-insensitive — ``min()`` aggregation (minhash) gives the
+    same signature either way, so the minhash path saves a full pass
+    over the shingle stream."""
+    out = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def minhash_signatures(

@@ -232,9 +232,12 @@ def q14_exact_dedup(spark, sf_dir):
 
 
 def q15_minhash(spark, sf_dir):
-    """MinHash signature digest (md5 hash family, portable)."""
+    """MinHash signature digest (md5 hash family, portable).
+
+    distinct=False: min() is duplicate-insensitive, so the dedup
+    shuffle is skipped — signatures identical, one pass saved."""
     d = _t(spark, sf_dir, "documents")
-    sh = doc_shingles(d, "text", "doc_id", n=3)
+    sh = doc_shingles(d, "text", "doc_id", n=3, distinct=False)
     sig = minhash_signatures(sh, "doc_id", num_hashes=8)
     return sig.select("doc_id", F.md5(F.concat_ws("|", "sig")).alias("sig_md5"))
 

@@ -173,6 +173,75 @@ def test_streaming_reassembly_executes(spark, tmp_path):
     assert "j2" not in published  # checksum incomplete → held back
 
 
+def test_windowed_request_stats_stream(spark, tmp_path):
+    """Watermark + window agg on a real stream: on-time rows aggregate
+    per window; a row later than the watermark is dropped."""
+    import json as _json
+
+    from medtype_spark.streaming.serving import windowed_request_stats
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows1 = [
+        {"user_id": 1, "ts": "2024-01-01T00:01:00", "value": 10.0},
+        {"user_id": 1, "ts": "2024-01-01T00:04:00", "value": 20.0},
+        {"user_id": 2, "ts": "2024-01-01T00:12:00", "value": 5.0},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    # batch 2 advances event time far past window 1 + watermark; the
+    # new watermark takes effect from the NEXT batch on
+    (src / "b2.json").write_text(_json.dumps(
+        {"user_id": 9, "ts": "2024-01-01T09:00:00", "value": 1.0}
+    ))
+    # the watermark computed from batch N's data becomes OPERATIVE in
+    # batch N+2 (it is committed at the end of N+1), so a spacer batch
+    # sits between the advancer and the late arrival
+    (src / "b3.json").write_text(_json.dumps(
+        {"user_id": 9, "ts": "2024-01-01T09:01:00", "value": 1.0}
+    ))
+    # batch 4: late arrival — window 1's state is evicted and the input
+    # filter runs at watermark 08:30, so this row must be dropped
+    (src / "b4.json").write_text(_json.dumps(
+        {"user_id": 1, "ts": "2024-01-01T00:02:00", "value": 999.0}
+    ))
+    # FileStreamSource orders by modification time — pin the batch order
+    import os
+
+    t0 = os.stat(src / "b1.json").st_mtime
+    for i, f in enumerate(["b1.json", "b2.json", "b3.json", "b4.json"]):
+        os.utime(src / f, (t0 - 300 + i * 60, t0 - 300 + i * 60))
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out = windowed_request_stats(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("winstats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["window_start"])): (r["n_requests"], r["avg_msg_size"])
+        for r in spark.sql("select * from winstats").collect()
+    }
+    # window [00:00,00:10) for user 1 closed with the two on-time rows;
+    # the 999.0 late row (beyond watermark) did not reopen/alter it
+    assert got[(1, "2024-01-01 00:00:00")] == (2, 15.0)
+    assert got[(2, "2024-01-01 00:10:00")] == (1, 5.0)
+
+    # batch-mode parity of the same plan builder
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 10.0), (1, "2024-01-01 00:04:00", 20.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b = windowed_request_stats(batch).collect()
+    assert (b[0]["n_requests"], b[0]["avg_msg_size"]) == (2, 15.0)
+
+
 def test_permutation_and_bootstrap(spark):
     from medtype_spark.metrics.significance import (
         bootstrap_diffs,
