@@ -979,6 +979,35 @@ def q59_cosine_neardup(spark, sf_dir):
     return pairs.where(F.col("cosine") >= 0.35)
 
 
+def q60_neardup_clusters(spark, sf_dir):
+    """Composed near-dup pipeline: minhash → LSH banding → Jaccard
+    verify → transitive closure (rows-only: transitive closure is
+    iterative; stages are oracle-checked individually via
+    q14/q15/q16/q44)."""
+    from medtype_spark.dedup.neardup import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(d, min_jaccard=0.8).select(
+        "doc_id", "neardup_group", "group_size"
+    )
+
+
+def q61_lsh_cosine_pairs(spark, sf_dir):
+    """Multi-table LSH cosine near-dup pairs (the scale path whose
+    exact baseline is q59; xxhash64 bucketing is engine-specific →
+    rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    from medtype_spark.similarity.knn import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(emb, dim=64, min_cosine=0.35, n_planes=6, n_tables=3).select(
+        "a", "b", _r6(F.col("cosine")).alias("cosine")
+    )
+
+
+QUERIES["q60_neardup_clusters"] = q60_neardup_clusters
+QUERIES["q61_lsh_cosine_pairs"] = q61_lsh_cosine_pairs
 QUERIES["q57_media_decode"] = q57_media_decode
 QUERIES["q58_frame_sampling"] = q58_frame_sampling
 QUERIES["q59_cosine_neardup"] = q59_cosine_neardup

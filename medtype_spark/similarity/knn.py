@@ -78,6 +78,52 @@ def _hyperplane_bits(vec_col, dim: int, n_planes: int, seed: int = 42):
     return F.concat(*bits)
 
 
+def lsh_cosine_pairs(
+    corpus: DataFrame,
+    dim: int,
+    min_cosine: float = 0.8,
+    n_planes: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at corpus scale: bucketed
+    self-join (never all-pairs).
+
+    Multi-table LSH: ``n_tables`` independent hyperplane sets, each an
+    equi-join on its own bucket key; a pair is a candidate if ANY table
+    collides (union + distinct), then exact cosine filters.  More
+    tables = higher recall at linear candidate cost — the standard
+    recall knob the single-table q51 lacked.  Returns (a, b, cosine)
+    with a < b.
+    """
+    per_table = []
+    for t in range(n_tables):
+        bucketed = corpus.select(
+            F.col(id_col), F.col(vec_col)
+        ).withColumn(
+            "_bucket",
+            _hyperplane_bits(F.col(vec_col), dim, n_planes, seed + 1000 * t),
+        )
+        a = bucketed.select(
+            F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "_bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "_bucket"
+        )
+        per_table.append(
+            a.join(b, "_bucket").where(F.col("a") < F.col("b")).select("a", "b", "_va", "_vb")
+        )
+    cands = per_table[0]
+    for other in per_table[1:]:
+        cands = cands.unionByName(other)
+    cands = cands.dropDuplicates(["a", "b"])
+    return cands.select(
+        "a", "b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine")
+    ).where(F.col("cosine") >= min_cosine)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

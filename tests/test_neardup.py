@@ -1,0 +1,86 @@
+"""Composed near-dup pipelines on planted duplicates: recall of the
+LSH paths vs ground truth / brute force."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from medtype_spark.dedup.neardup import near_dup_clusters
+from medtype_spark.similarity.knn import lsh_cosine_pairs
+
+
+def _planted_docs(spark, n_groups=12, words=40):
+    """Groups of 3 near-identical docs (1-2 word edits) + singletons."""
+    rng = random.Random(9)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = []
+    did = 0
+    truth = {}
+    for g in range(n_groups):
+        base = [rng.choice(vocab) for _ in range(words)]
+        for v in range(3):
+            toks = list(base)
+            for _ in range(v):  # v edits
+                toks[rng.randrange(words)] = rng.choice(vocab)
+            rows.append((did, " ".join(toks)))
+            truth[did] = g
+            did += 1
+    for s in range(15):  # unrelated singletons
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(words))))
+        truth[did] = f"solo{s}"
+        did += 1
+    return spark.createDataFrame(rows, "doc_id:long, text:string"), truth
+
+
+def test_near_dup_clusters_recover_planted_groups(spark):
+    docs, truth = _planted_docs(spark)
+    out = near_dup_clusters(docs, min_jaccard=0.5, num_hashes=16, bands=8)
+    got = {r["doc_id"]: r["neardup_group"] for r in out.collect()}
+    assert set(got) == set(truth)  # every doc labeled
+
+    # pairwise agreement vs planted truth (allowing LSH recall < 1.0
+    # but requiring it high, and NO false merges)
+    ids = sorted(truth)
+    tp = fn = fp = 0
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            same_truth = truth[i] == truth[j]
+            same_got = got[i] == got[j]
+            if same_truth and same_got:
+                tp += 1
+            elif same_truth:
+                fn += 1
+            elif same_got:
+                fp += 1
+    assert fp == 0  # verification step kills every false candidate
+    assert tp / (tp + fn) >= 0.9  # multi-band recall on 1-2-edit dups
+
+
+def test_lsh_cosine_pairs_vs_brute_force(spark):
+    rng = random.Random(4)
+    # planted near-dup vector pairs + noise
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.05) for x in v]))  # near-dup
+    emb = spark.createDataFrame(rows, "vec_id:long, embedding:array<double>")
+
+    got = {(r["a"], r["b"]) for r in
+           lsh_cosine_pairs(emb, dim=16, min_cosine=0.95, n_planes=6, n_tables=4).collect()}
+
+    # brute force ground truth at the same threshold
+    from medtype_spark.operators.pairs import cosine_sim
+
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    want = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b).where(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("c"))
+        .where(F.col("c") >= 0.95).collect()
+    }
+    assert got <= want  # no false positives (exact verify)
+    assert len(got) >= 0.9 * len(want)  # multi-table recall
