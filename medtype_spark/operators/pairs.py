@@ -120,7 +120,11 @@ def score_pairs(
     jw = jaro_winkler_udf(F.col(a_text), F.col(b_text))
     if a_vec is not None and b_vec is not None:
         cos = cosine_sim(F.col(a_vec), F.col(b_vec))
-        score = F.lit(jw_weight) * jw + F.lit(1.0 - jw_weight) * cos
+        blended = F.lit(jw_weight) * jw + F.lit(1.0 - jw_weight) * cos
+        # rows missing an embedding on either side fall back to pure JW
+        score = F.when(
+            F.col(a_vec).isNull() | F.col(b_vec).isNull(), jw
+        ).otherwise(blended)
     else:
         score = jw
     return pairs.withColumn(out_col, F.round(score, 3))

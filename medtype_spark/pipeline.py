@@ -102,6 +102,8 @@ def run_linkage(
     type_scorer: str = "dict",
     fused: bool = True,
     with_candidate_filter: bool = False,
+    alias_embeddings: DataFrame | None = None,
+    jw_weight: float = 0.5,
 ) -> dict[str, DataFrame]:
     """Run the flagship pipeline; returns the per-stage DataFrames.
 
@@ -116,6 +118,13 @@ def run_linkage(
       only shape that survives 10^12 documents.
     - "mention": literal mention-instance pair scoring (the naive
       quadratic; kept for parity testing).
+
+    ``alias_embeddings``: optional broadcast-sized dimension
+    (norm_form, embedding: array<double>) — when given (form grain
+    only), pair scores blend Jaro-Winkler with alias-embedding cosine
+    (the north star's "Jaro-Winkler + alias-embedding pairwise scores
+    within salted blocks"); forms without an embedding fall back to
+    pure JW.  ``jw_weight`` sets the blend.
     """
     spark = pages.sparkSession
 
@@ -182,6 +191,12 @@ def run_linkage(
         )
         id_col = "norm_form"
         extra = ["pred_type"]
+        if alias_embeddings is not None:
+            emb = alias_embeddings.select(
+                F.col("norm_form"), F.col("embedding").alias("alias_vec")
+            )
+            units = units.join(F.broadcast(emb), "norm_form", "left")
+            extra = ["pred_type", "alias_vec"]
     elif pair_grain == "mention":
         units = mentions
         id_col = "mention_key"
@@ -199,9 +214,17 @@ def run_linkage(
         persist_registry=persisted,
     )
     a_form, b_form = "a_norm_form", "b_norm_form"
-    scored = pairs.withColumn(
-        "score", F.round(jaro_winkler_udf(F.col(a_form), F.col(b_form)), 3)
-    )
+    if alias_embeddings is not None and pair_grain == "form":
+        from medtype_spark.operators.pairs import score_pairs
+
+        scored = score_pairs(
+            pairs, a_text=a_form, b_text=b_form,
+            a_vec="a_alias_vec", b_vec="b_alias_vec", jw_weight=jw_weight,
+        )
+    else:
+        scored = pairs.withColumn(
+            "score", F.round(jaro_winkler_udf(F.col(a_form), F.col(b_form)), 3)
+        )
     edge_cond = F.col("score") >= F.lit(score_threshold)
     if require_type_agreement:
         # type-filtered blocking: prune pairs whose predicted type sets

@@ -83,6 +83,48 @@ def test_flagship_f1(spark, corpus):
     assert row["fscore"] >= 0.99, dict(row.asDict())
 
 
+def test_alias_embedding_blend_links_dissimilar_strings(spark):
+    """Two aliases of one entity whose surface strings are too far for
+    JW alone must still link when their alias embeddings agree (the
+    north star's JW + alias-embedding blended pair score)."""
+    from medtype_spark.operators.pairs import jaro_winkler
+
+    import pandas as pd
+
+    a1, a2 = "corp9 alphaname", "corp9 zzguvwxyq"
+    jw = jaro_winkler(
+        "corp9 alphaname", "corp9 zzguvwxyq"
+    )
+    assert jw < 0.85  # JW alone is below the threshold we'll use
+
+    text = f"intro {a1} middle {a2} end"
+    html = f"<html><body><p>{text}</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [("u1", None, html, text, "en")],
+        "url:string, warc_ts:timestamp, html:binary, text:string, lang:string",
+    )
+    lex = pd.DataFrame(
+        [(a1, "E1", 1.0, "Anatomy"), (a2, "E1", 0.9, "Anatomy")],
+        columns=["alias", "eid", "score", "type"],
+    )
+    etypes = spark.createDataFrame([("E1", ["Anatomy"])], "eid:string, types:array<string>")
+    vec = [1.0, 0.0, 0.5]
+    emb = spark.createDataFrame(
+        [("corp9 alphaname", vec), ("corp9 zzguvwxyq", vec)],
+        "norm_form:string, embedding:array<double>",
+    )
+
+    def clusters_of(**kw):
+        r = run_linkage(pages, lex, etypes, score_threshold=0.85, **kw)
+        return {row["mention_key"]: row["entity_cluster"] for row in r["clusters"].collect()}
+
+    jw_only = clusters_of()
+    assert len(set(jw_only.values())) == 2  # JW alone keeps them apart
+
+    blended = clusters_of(alias_embeddings=emb, jw_weight=0.3)
+    assert len(set(blended.values())) == 1  # embedding agreement links
+
+
 def test_partitioning_invariance(spark, corpus):
     """Same clusters regardless of parallelism — the determinism
     prerequisite for the two-cluster-size scaling acceptance."""
