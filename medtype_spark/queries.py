@@ -1006,6 +1006,25 @@ def q61_lsh_cosine_pairs(spark, sf_dir):
     )
 
 
+def q62_embedding_candidates(spark, sf_dir):
+    """M1: ScispaCy-style char-3gram embedding kNN candidate generation
+    per distinct form (rows-only: crc32 feature hashing is
+    engine-specific)."""
+    from medtype_spark.datagen.pages import build_lexicon
+    from medtype_spark.similarity.candidates import embedding_candidates
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.lower(F.col("source")).alias("norm_form")
+    ).dropDuplicates()
+    out = embedding_candidates(d, build_lexicon(40), k=3)
+    return out.select(
+        "norm_form",
+        F.size("emb_candidates").alias("n_cands"),
+        F.try_element_at("emb_candidates", F.lit(1))["eid"].alias("top_eid"),
+    )
+
+
+QUERIES["q62_embedding_candidates"] = q62_embedding_candidates
 QUERIES["q60_neardup_clusters"] = q60_neardup_clusters
 QUERIES["q61_lsh_cosine_pairs"] = q61_lsh_cosine_pairs
 QUERIES["q57_media_decode"] = q57_media_decode
