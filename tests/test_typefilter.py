@@ -7,7 +7,12 @@ filter; filtered-to-empty → fall back to all.  Order must be preserved.
 
 from pyspark.sql import types as T
 
-from medtype_spark.operators.typefilter import filter_candidates
+import pytest
+
+from medtype_spark.operators.typefilter import (
+    filter_candidates,
+    filter_candidates_map,
+)
 
 SCHEMA = T.StructType([
     T.StructField("mention_id", T.StringType()),
@@ -19,22 +24,46 @@ SCHEMA = T.StructType([
 ])
 
 
-def _run(spark, rows):
+ETYPES = [
+    ("E1", ["Anatomy"]),
+    ("E2", ["Disorders"]),
+    ("E3", ["Anatomy", "Finding"]),
+    # E9 deliberately missing from the map
+]
+
+
+def _run(spark, rows, variant="join"):
     mentions = spark.createDataFrame(rows, SCHEMA)
-    etypes = spark.createDataFrame(
-        [
-            ("E1", ["Anatomy"]),
-            ("E2", ["Disorders"]),
-            ("E3", ["Anatomy", "Finding"]),
-            # E9 deliberately missing from the map
-        ],
-        ["eid", "types"],
-    )
-    out = filter_candidates(mentions, etypes)
+    if variant == "join":
+        etypes = spark.createDataFrame(ETYPES, ["eid", "types"])
+        out = filter_candidates(mentions, etypes)
+    else:
+        # shuffle-free map-literal variant — identical semantics
+        out = filter_candidates_map(mentions, dict(ETYPES))
     return {
         r["mention_id"]: [c["eid"] for c in r["filtered_candidates"]]
         for r in out.collect()
     }
+
+
+def test_map_variant_parity(spark):
+    rows = [
+        ("m_empty_pred", [("E1", 0.9), ("E9", 0.8)], []),
+        ("m_filtered", [("E2", 0.9), ("E1", 0.8), ("E3", 0.7)], ["Anatomy"]),
+        ("m_fallback", [("E2", 0.9), ("E9", 0.5)], ["Anatomy"]),
+        ("m_unknown_dropped", [("E9", 0.95), ("E1", 0.5)], ["Anatomy"]),
+        ("m_order", [("E3", 0.9), ("E1", 0.85), ("E3", 0.2)], ["Anatomy"]),
+    ]
+    assert _run(spark, rows, "join") == _run(spark, rows, "map")
+
+
+def test_map_variant_is_shuffle_free(spark):
+    mentions = spark.createDataFrame(
+        [("m", [("E1", 0.9)], ["Anatomy"])], SCHEMA
+    )
+    out = filter_candidates_map(mentions, dict(ETYPES))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one codegen projection, no shuffle
 
 
 def test_all_branches(spark):
