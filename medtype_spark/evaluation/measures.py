@@ -185,7 +185,16 @@ def _coverage(matched: DataFrame, ref_keys: list[str], mode: str) -> DataFrame:
 
 def _eval_overlap(gold: DataFrame, system: DataFrame, spec: MeasureSpec) -> DataFrame:
     """count_overlap (annotation.py:418-516): ptp = Σ per-sys coverage,
-    fp = |sys| − ptp; rtp = Σ per-gold coverage, fn = |gold| − rtp."""
+    fp = |sys| − ptp; rtp = Σ per-gold coverage, fn = |gold| − rtp.
+
+    Documented divergence: the reference pairs spans with a merge sweep
+    (annotation.py:448-460) that assumes each side is internally
+    NON-overlapping (its Document validation flags nested/crossing
+    spans as data errors) and can skip pairs when that assumption is
+    violated; this implementation joins ALL overlapping cross pairs, so
+    on such invalid inputs it gives (more) credit where the sweep gives
+    none.  Identical on validated inputs — the golden tests cover the
+    trainer's actual specs."""
     params = spec.agg[len("overlap-"):]
     gold_mode, sys_mode = params[:3], params[3:]
 

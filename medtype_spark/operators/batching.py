@@ -126,31 +126,34 @@ def length_sorted_batches(
     ).where(F.col("_toks").isNotNull())
     flat = flat.sortWithinPartitions(F.desc("_tok_len"))
 
-    def make_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            buf.append(pdf)
-        if not buf:
-            return
-        part = pd.concat(buf, ignore_index=True)
-        # rows arrive pre-sorted desc by tok_len (sortWithinPartitions)
-        out = []
-        for i in range(0, len(part), batch_size):
-            chunk = part.iloc[i:i + batch_size]
-            width = int(chunk["_tok_len"].max())
-            pad, mask = [], []
-            for toks in chunk["_toks"]:
-                t = list(toks)
-                pad.append(t + [0] * (width - len(t)))
-                mask.append([1.0] * len(t) + [0.0] * (width - len(t)))
-            out.append((
-                list(chunk["_key"]), pad, mask,
-                [int(x) for x in chunk["_men_pos"]],
-                [int(x) for x in chunk["_tok_len"]],
-            ))
-        yield pd.DataFrame(
-            out, columns=["keys", "tok_pad", "tok_mask", "men_pos", "tok_len"]
+    def emit(chunk: pd.DataFrame):
+        width = int(chunk["_tok_len"].max())
+        pad, mask = [], []
+        for toks in chunk["_toks"]:
+            t = list(toks)
+            pad.append(t + [0] * (width - len(t)))
+            mask.append([1.0] * len(t) + [0.0] * (width - len(t)))
+        return (
+            list(chunk["_key"]), pad, mask,
+            [int(x) for x in chunk["_men_pos"]],
+            [int(x) for x in chunk["_tok_len"]],
         )
+
+    def make_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive pre-sorted desc by tok_len (sortWithinPartitions),
+        # so chunking streams with a < batch_size carry buffer — worker
+        # memory stays O(arrow batch), never O(partition)
+        carry: pd.DataFrame | None = None
+        cols = ["keys", "tok_pad", "tok_mask", "men_pos", "tok_len"]
+        for pdf in pdfs:
+            part = pd.concat([carry, pdf], ignore_index=True) if carry is not None else pdf
+            n_full = (len(part) // batch_size) * batch_size
+            out = [emit(part.iloc[i:i + batch_size]) for i in range(0, n_full, batch_size)]
+            carry = part.iloc[n_full:] if n_full < len(part) else None
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+        if carry is not None and len(carry):
+            yield pd.DataFrame([emit(carry)], columns=cols)
 
     return flat.mapInPandas(make_batches, schema=BATCH_SCHEMA)
 

@@ -36,9 +36,9 @@ def _fingerprint(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-def _driver_union_find(e: DataFrame) -> DataFrame:
-    """Exact min-label components for a small edge set, solved on the
-    driver (path-compressed union-find) and returned as a DataFrame
+def _driver_union_find_pdf(pdf, e: DataFrame) -> DataFrame:
+    """Exact min-label components for a small collected edge set
+    (path-compressed union-find), returned as a DataFrame
     (node, component) covering every edge-touched node."""
     parent: dict = {}
 
@@ -50,7 +50,6 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    pdf = e.select("u", "v").toPandas()  # Arrow-batched collect
     for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         ru, rv = find(u), find(v)
         if ru != rv:
@@ -143,18 +142,25 @@ def connected_components(
         all_nodes = all_nodes.union(vertices.select(F.col(vertex_col)))
     all_nodes = all_nodes.distinct()
 
-    n_edges = e.count()
-    if n_edges == 0:
+    if small_graph_threshold is not None:
+        # one job decides AND fetches: limit(t+1).toPandas() returning
+        # ≤ t rows proves the edge set is complete (≤ t edges total),
+        # so the separate count() job disappears from the common path
+        probe = e.limit(small_graph_threshold + 1).select("u", "v").toPandas()
+        if len(probe) == 0:
+            return all_nodes.select(
+                F.col(vertex_col).alias("node"), F.col(vertex_col).alias("component")
+            )
+        if len(probe) <= small_graph_threshold:
+            labels = _driver_union_find_pdf(probe, e)
+            return (
+                all_nodes.select(F.col(vertex_col).alias("node"))
+                .join(F.broadcast(labels), "node", "left")
+                .select("node", F.coalesce("component", "node").alias("component"))
+            )
+    elif e.isEmpty():
         return all_nodes.select(
             F.col(vertex_col).alias("node"), F.col(vertex_col).alias("component")
-        )
-
-    if small_graph_threshold is not None and n_edges <= small_graph_threshold:
-        labels = _driver_union_find(e)
-        return (
-            all_nodes.select(F.col(vertex_col).alias("node"))
-            .join(F.broadcast(labels), "node", "left")
-            .select("node", F.coalesce("component", "node").alias("component"))
         )
 
     # Convergence is detected by an edge-set fingerprint, one cheap

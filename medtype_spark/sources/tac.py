@@ -78,6 +78,12 @@ def prepare_tac(
     given, candidate ids are normalise_link'ed then redirected
     (tac.py:86-105; without a mapping the reference leaves ids
     verbatim).
+
+    Documented divergence: a query with no links raises ValueError in
+    the reference (tac.py:72-73); here it yields an annotation with an
+    EMPTY candidate list (a driver-side raise inside a distributed scan
+    would need an extra validation action — callers wanting the strict
+    behavior can assert ``size(candidates) > 0``).
     """
     queries = read_tac_queries(spark, queries_path)
     links = read_tac_links(spark, links_path)
