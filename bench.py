@@ -28,8 +28,8 @@ HEADLINE = [
     "q14_exact_dedup",
     "q15_minhash",
     "q16_ngram_jaccard",
-    "q17_quality",
-    "q21_pairwise",
+    "q17_textstats",
+    "q21_cluster_metrics",
     "q24_cosine_topk",
     "q25_cc_chains",
     "q53_flagship_linkage",

@@ -28,13 +28,6 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 """
 
-ORACLES["q02_topk_orders"] = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 10
-"""
-
 ORACLES["q03_top_order_per_cust"] = """
 SELECT o_custkey, o_orderkey, o_totalprice
 FROM (
@@ -66,15 +59,13 @@ FROM orders FULL OUTER JOIN lk ON o_orderkey = l_orderkey
 GROUP BY 1
 """
 
-ORACLES["q06_semi_join"] = """
-SELECT c_custkey, c_mktsegment
+ORACLES["q06_semi_anti_join"] = """
+SELECT 'semi' AS side, c_custkey AS key, c_mktsegment AS attr
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-"""
-
-ORACLES["q07_anti_join"] = """
-SELECT o_orderkey, o_orderstatus
+UNION ALL
+SELECT 'anti' AS side, o_orderkey AS key, o_orderstatus AS attr
 FROM orders
 WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 """
@@ -208,27 +199,9 @@ JOIN sizes sb ON sb.doc_id = b
 WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
 """
 
-ORACLES["q17_quality"] = f"""
-WITH base AS (
-  SELECT doc_id, text, {_TOKS} AS toks,
-         length(text) AS n_chars
-  FROM documents
-)
-SELECT doc_id, n_chars,
-       len(toks) AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE n_chars::DOUBLE / len(toks) END, 6) AS avg_token_len,
-       round(CASE WHEN n_chars = 0 THEN 0.0
-             ELSE (n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / n_chars END, 6) AS alpha_ratio,
-       round(CASE WHEN n_chars = 0 THEN 0.0
-             ELSE (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / n_chars END, 6) AS punct_ratio,
-       round(CASE WHEN len(toks) = 0 THEN 0.0
-             ELSE len(list_filter(toks, t -> list_contains({_STOPLIST}, lower(t))))::DOUBLE / len(toks) END, 6) AS stopword_ratio
-FROM base
-"""
-
-
-def _lang_id_sql() -> str:
+def _textstats_sql() -> str:
+    """q17_textstats: quality features + lang-id + fingerprint joined
+    on doc_id (all three component selects hoisted to one WITH)."""
     hit_cols = []
     for lang in sorted(LANG_MARKERS):
         markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
@@ -240,26 +213,46 @@ def _lang_id_sql() -> str:
     )
     greatest = ", ".join(f"h_{lang}" for lang in sorted(LANG_MARKERS))
     return f"""
-WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE n_chars::DOUBLE / len(toks) END, 6) AS avg_token_len,
+         round(CASE WHEN n_chars = 0 THEN 0.0
+               ELSE (n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / n_chars END, 6) AS alpha_ratio,
+         round(CASE WHEN n_chars = 0 THEN 0.0
+               ELSE (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / n_chars END, 6) AS punct_ratio,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks, t -> list_contains({_STOPLIST}, lower(t))))::DOUBLE / len(toks) END, 6) AS stopword_ratio
+  FROM base
+),
 hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM base),
-g AS (SELECT *, greatest({greatest}) AS g FROM hits)
-SELECT doc_id,
-       CASE WHEN g = 0 THEN 'und'
+hg AS (SELECT *, greatest({greatest}) AS g FROM hits),
+l AS (
+  SELECT doc_id,
+         CASE WHEN g = 0 THEN 'und'
 {case_branches}
-       END AS pred_lang
-FROM g
+         END AS pred_lang
+  FROM hg
+),
+f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT q.*, l.pred_lang, f.fingerprint
+FROM q JOIN l USING (doc_id) JOIN f USING (doc_id)
 """
 
 
-ORACLES["q18_lang_id"] = _lang_id_sql()
-
-ORACLES["q19_fingerprint"] = """
-SELECT doc_id,
-       md5(trim(regexp_replace(
-             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-           '\\s+', ' ', 'g'))) AS fingerprint
-FROM documents
-"""
+ORACLES["q17_textstats"] = _textstats_sql()
 
 ORACLES["q20_normalise_link"] = """
 SELECT doc_id,
@@ -278,8 +271,12 @@ tsz AS (SELECT c, count(*) AS n_t FROM t GROUP BY c),
 psz AS (SELECT c, count(*) AS n_p FROM p GROUP BY c)
 """
 
-_PRF_TAIL = """
-SELECT round(p_num, 6) AS p_num, round(p_den, 6) AS p_den,
+
+def _prf_select(metric: str, nums_table: str, label_col: str = "metric") -> str:
+    """One labeled PRF row computed from a 4-column nums CTE."""
+    return f"""
+SELECT '{metric}' AS {label_col},
+       round(p_num, 6) AS p_num, round(p_den, 6) AS p_den,
        round(r_num, 6) AS r_num, round(r_den, 6) AS r_den,
        round(p, 6) AS precision, round(r, 6) AS recall,
        round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS fscore
@@ -287,36 +284,27 @@ FROM (
   SELECT *,
          CASE WHEN p_den = 0 THEN 0.0 ELSE p_num / p_den END AS p,
          CASE WHEN r_den = 0 THEN 0.0 ELSE r_num / r_den END AS r
-  FROM nums
+  FROM {nums_table}
 )
 """
 
-ORACLES["q21_pairwise"] = f"""
+
+ORACLES["q21_cluster_metrics"] = f"""
 WITH {_CLUSTER_CTES},
-nums AS (
+pw_nums AS (
   SELECT (SELECT coalesce(sum((n * (n - 1))::DOUBLE / 2), 0) FROM inter) AS p_num,
          (SELECT coalesce(sum((n_p * (n_p - 1))::DOUBLE / 2), 0) FROM psz) AS p_den,
          (SELECT coalesce(sum((n * (n - 1))::DOUBLE / 2), 0) FROM inter) AS r_num,
          (SELECT coalesce(sum((n_t * (n_t - 1))::DOUBLE / 2), 0) FROM tsz) AS r_den
-)
-{_PRF_TAIL}
-"""
-
-ORACLES["q22_bcubed"] = f"""
-WITH {_CLUSTER_CTES},
-nums AS (
+),
+bc_nums AS (
   SELECT (SELECT coalesce(sum((n * n)::DOUBLE / n_p), 0)
           FROM inter JOIN psz ON psz.c = inter.pc) AS p_num,
          (SELECT count(*)::DOUBLE FROM p) AS p_den,
          (SELECT coalesce(sum((n * n)::DOUBLE / n_t), 0)
           FROM inter JOIN tsz ON tsz.c = inter.tc) AS r_num,
          (SELECT count(*)::DOUBLE FROM t) AS r_den
-)
-{_PRF_TAIL}
-"""
-
-ORACLES["q23_muc"] = f"""
-WITH {_CLUSTER_CTES},
+),
 pv AS (  -- vilain(pred, true_mapping)
   SELECT coalesce(sum(n - unaligned - parts), 0)::DOUBLE AS num,
          coalesce(sum(n - 1), 0)::DOUBLE AS den
@@ -337,11 +325,37 @@ rv AS (  -- vilain(true, pred_mapping)
     FROM t LEFT JOIN p USING (m) GROUP BY t.c
   )
 ),
-nums AS (
+muc_nums AS (
   SELECT pv.num AS p_num, pv.den AS p_den, rv.num AS r_num, rv.den AS r_den
   FROM pv, rv
+),
+common AS (SELECT t.m, t.c AS tc, p.c AS pc FROM t JOIN p USING (m)),
+inter2 AS (SELECT tc, pc, count(*) AS n FROM common GROUP BY tc, pc),
+bn_vals AS (
+  SELECT
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM inter2) AS pos,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM common GROUP BY tc)) AS tpc,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM common GROUP BY pc)) AS ppc,
+    (SELECT count(*)::DOUBLE FROM common) AS nc,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM t GROUP BY c)) AS tp_all,
+    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM p GROUP BY c)) AS pp_all,
+    (SELECT count(*)::DOUBLE FROM t) AS nt,
+    (SELECT count(*)::DOUBLE FROM p) AS np
+),
+bn_nums AS (
+  SELECT (nc*(nc-1)/2 - pos - (tpc + ppc - 2*pos)) AS p_num,
+         (np*(np-1)/2 - pp_all) AS p_den,
+         (nc*(nc-1)/2 - pos - (tpc + ppc - 2*pos)) AS r_num,
+         (nt*(nt-1)/2 - tp_all) AS r_den
+  FROM bn_vals
 )
-{_PRF_TAIL}
+{_prf_select('pairwise', 'pw_nums')}
+UNION ALL
+{_prf_select('bcubed', 'bc_nums')}
+UNION ALL
+{_prf_select('muc', 'muc_nums')}
+UNION ALL
+{_prf_select('blanc_neg', 'bn_nums')}
 """
 
 ORACLES["q24_cosine_topk"] = """
@@ -370,7 +384,7 @@ GROUP BY lang
 HAVING count(*) > 1
 """
 
-ORACLES["q27_interval_score_max"] = """
+ORACLES["q27_interval_scores"] = """
 WITH e AS (
   SELECT user_id, event_id, event_type,
          event_id % 1000 AS s,
@@ -381,11 +395,23 @@ matched AS (
   SELECT l.event_id AS ref_id, l.s AS ls, l.en AS le, r.s AS rs, r.en AS re
   FROM e l JOIN e r ON l.user_id = r.user_id AND l.event_id <> r.event_id
   WHERE l.event_type = 'error' AND r.s <= l.en AND r.en >= l.s
+),
+mx AS (
+  SELECT ref_id,
+         round(max(greatest(least(le, re) - greatest(ls, rs) + 1, 0)::DOUBLE
+                   / (le - ls + 1)), 6) AS overlap_max
+  FROM matched GROUP BY ref_id
+),
+covered AS (
+  SELECT DISTINCT ref_id, ls, le, unnest(range(greatest(rs, ls), least(re, le) + 1)) AS pos
+  FROM matched WHERE least(re, le) >= greatest(rs, ls)
+),
+sm AS (
+  SELECT ref_id, round(count(*)::DOUBLE / (le - ls + 1), 6) AS overlap_sum
+  FROM covered GROUP BY ref_id, ls, le
 )
-SELECT ref_id,
-       round(max(greatest(least(le, re) - greatest(ls, rs) + 1, 0)::DOUBLE
-                 / (le - ls + 1)), 6) AS overlap
-FROM matched GROUP BY ref_id
+SELECT mx.ref_id, mx.overlap_max, sm.overlap_sum
+FROM mx JOIN sm USING (ref_id)
 """
 
 ORACLES["q28_first_mention"] = """
@@ -463,7 +489,7 @@ chars AS (
 SELECT docid, start, count(*) AS n FROM chars GROUP BY docid, start
 """
 
-ORACLES["q32_split_partials"] = r"""
+ORACLES["q32_split_reassemble"] = r"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS job_id,
          list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
@@ -475,47 +501,17 @@ parts AS (
          unnest(range(0, CAST(ceil(len(t) / 4.0) AS INT))) AS partial_id,
          t
   FROM d
-)
-SELECT job_id, partial_id, n_partials,
-       len(t[partial_id * 4 + 1 : partial_id * 4 + 4]) AS n_items,
-       array_to_string(t[partial_id * 4 + 1 : partial_id * 4 + 4], ' ') AS items_str
-FROM parts
-"""
-
-ORACLES["q33_reassemble"] = r"""
-WITH d AS (
-  SELECT CAST(doc_id AS VARCHAR) AS job_id,
-         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
-  FROM documents
-)
-SELECT job_id, array_to_string(t, ' ') AS text_rt,
-       CAST(ceil(len(t) / 4.0) AS BIGINT) AS collected
-FROM d
-"""
-
-ORACLES["q34_pairwise_negative"] = f"""
-WITH {_CLUSTER_CTES},
-common AS (SELECT t.m, t.c AS tc, p.c AS pc FROM t JOIN p USING (m)),
-inter2 AS (SELECT tc, pc, count(*) AS n FROM common GROUP BY tc, pc),
-vals AS (
-  SELECT
-    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM inter2) AS pos,
-    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM common GROUP BY tc)) AS tpc,
-    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM common GROUP BY pc)) AS ppc,
-    (SELECT count(*)::DOUBLE FROM common) AS nc,
-    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM t GROUP BY c)) AS tp_all,
-    (SELECT coalesce(sum((n*(n-1))::DOUBLE/2),0) FROM (SELECT count(*) n FROM p GROUP BY c)) AS pp_all,
-    (SELECT count(*)::DOUBLE FROM t) AS nt,
-    (SELECT count(*)::DOUBLE FROM p) AS np
 ),
-nums AS (
-  SELECT (nc*(nc-1)/2 - pos - (tpc + ppc - 2*pos)) AS p_num,
-         (np*(np-1)/2 - pp_all) AS p_den,
-         (nc*(nc-1)/2 - pos - (tpc + ppc - 2*pos)) AS r_num,
-         (nt*(nt-1)/2 - tp_all) AS r_den
-  FROM vals
+rt AS (
+  SELECT job_id, array_to_string(t, ' ') AS text_rt,
+         CAST(ceil(len(t) / 4.0) AS BIGINT) AS collected
+  FROM d
 )
-{_PRF_TAIL}
+SELECT parts.job_id, partial_id, n_partials,
+       len(t[partial_id * 4 + 1 : partial_id * 4 + 4]) AS n_items,
+       array_to_string(t[partial_id * 4 + 1 : partial_id * 4 + 4], ' ') AS items_str,
+       rt.text_rt, rt.collected
+FROM parts JOIN rt ON parts.job_id = rt.job_id
 """
 
 ORACLES["q35_first_on_category"] = """
@@ -568,26 +564,6 @@ LEFT JOIN dim d1 ON d1.key = lang
 LEFT JOIN dim d2 ON d2.key = 'pfx_' || lang
 """
 
-ORACLES["q39_interval_score_sum"] = """
-WITH e AS (
-  SELECT user_id, event_id, event_type,
-         event_id % 1000 AS s,
-         event_id % 1000 + (CAST(floor(value) AS BIGINT) % 50) AS en
-  FROM events
-),
-matched AS (
-  SELECT l.event_id AS ref_id, l.s AS ls, l.en AS le,
-         greatest(r.s, l.s) AS cs, least(r.en, l.en) AS ce
-  FROM e l JOIN e r ON l.user_id = r.user_id AND l.event_id <> r.event_id
-  WHERE l.event_type = 'error' AND r.s <= l.en AND r.en >= l.s
-),
-covered AS (
-  SELECT DISTINCT ref_id, ls, le, unnest(range(cs, ce + 1)) AS pos
-  FROM matched WHERE ce >= cs
-)
-SELECT ref_id, round(count(*)::DOUBLE / (le - ls + 1), 6) AS overlap
-FROM covered GROUP BY ref_id, ls, le
-"""
 
 ORACLES["q40_server_stats"] = """
 SELECT user_id, count(*) AS n_requests,
@@ -666,82 +642,64 @@ sys AS (
 )
 """
 
-_MEASURE_TAIL = """
-SELECT round(p_num, 6) AS p_num, round(p_den, 6) AS p_den,
-       round(r_num, 6) AS r_num, round(r_den, 6) AS r_den,
-       round(p, 6) AS precision, round(r, 6) AS recall,
-       round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS fscore
-FROM (
-  SELECT *,
-         CASE WHEN p_den = 0 THEN 0.0 ELSE p_num / p_den END AS p,
-         CASE WHEN r_den = 0 THEN 0.0 ELSE r_num / r_den END AS r
-  FROM nums
-)
-"""
 
-ORACLES["q46_measure_strong_all"] = f"""
+ORACLES["q46_measures"] = f"""
 WITH {_MEASURE_FRAMES},
-g AS (SELECT DISTINCT docid, s, e, kbid FROM gold),
-sy AS (SELECT DISTINCT docid, s, e, kbid FROM sys),
-gm AS (SELECT docid, s, e, kbid, unnest(string_split(kbid, '|')) AS kb1 FROM g),
-tp AS (
+sa_g AS (SELECT DISTINCT docid, s, e, kbid FROM gold),
+sa_sy AS (SELECT DISTINCT docid, s, e, kbid FROM sys),
+sa_gm AS (SELECT docid, s, e, kbid, unnest(string_split(kbid, '|')) AS kb1 FROM sa_g),
+sa_tp AS (
   SELECT count(*)::DOUBLE AS v FROM (
-    SELECT DISTINCT docid, s, e, kbid FROM gm
-    WHERE EXISTS (SELECT 1 FROM sy
-                  WHERE sy.docid = gm.docid AND sy.s = gm.s
-                    AND sy.e = gm.e AND sy.kbid = gm.kb1))
+    SELECT DISTINCT docid, s, e, kbid FROM sa_gm
+    WHERE EXISTS (SELECT 1 FROM sa_sy
+                  WHERE sa_sy.docid = sa_gm.docid AND sa_sy.s = sa_gm.s
+                    AND sa_sy.e = sa_gm.e AND sa_sy.kbid = sa_gm.kb1))
 ),
-nums AS (
-  SELECT tp.v AS p_num, (SELECT count(*)::DOUBLE FROM sy) AS p_den,
-         tp.v AS r_num, (SELECT count(*)::DOUBLE FROM g) AS r_den
-  FROM tp
-)
-{_MEASURE_TAIL}
-"""
-
-ORACLES["q47_measure_sets_kbid"] = f"""
-WITH {_MEASURE_FRAMES},
-g AS (SELECT DISTINCT kbid FROM gold),
-sy AS (SELECT DISTINCT kbid FROM sys),
-gm AS (SELECT kbid, unnest(string_split(kbid, '|')) AS kb1 FROM g),
-tp AS (
+sa_nums AS (
+  SELECT sa_tp.v AS p_num, (SELECT count(*)::DOUBLE FROM sa_sy) AS p_den,
+         sa_tp.v AS r_num, (SELECT count(*)::DOUBLE FROM sa_g) AS r_den
+  FROM sa_tp
+),
+sk_g AS (SELECT DISTINCT kbid FROM gold),
+sk_sy AS (SELECT DISTINCT kbid FROM sys),
+sk_gm AS (SELECT kbid, unnest(string_split(kbid, '|')) AS kb1 FROM sk_g),
+sk_tp AS (
   SELECT count(*)::DOUBLE AS v FROM (
-    SELECT DISTINCT kbid FROM gm
-    WHERE EXISTS (SELECT 1 FROM sy WHERE sy.kbid = gm.kb1))
+    SELECT DISTINCT kbid FROM sk_gm
+    WHERE EXISTS (SELECT 1 FROM sk_sy WHERE sk_sy.kbid = sk_gm.kb1))
 ),
-nums AS (
-  SELECT tp.v AS p_num, (SELECT count(*)::DOUBLE FROM sy) AS p_den,
-         tp.v AS r_num, (SELECT count(*)::DOUBLE FROM g) AS r_den
-  FROM tp
-)
-{_MEASURE_TAIL}
-"""
-
-ORACLES["q48_measure_overlap_maxmax"] = f"""
-WITH {_MEASURE_FRAMES},
-g AS (SELECT *, row_number() OVER () AS gid FROM gold),
-sy AS (SELECT *, row_number() OVER () AS sid FROM sys),
-gm AS (SELECT gid, docid, s, e, unnest(string_split(kbid, '|')) AS kb1 FROM g),
-matched AS (
-  SELECT sy.sid, gm.gid, sy.s AS ss, sy.e AS se, gm.s AS gs, gm.e AS ge
-  FROM sy JOIN gm ON sy.docid = gm.docid AND sy.kbid = gm.kb1
-                 AND gm.s <= sy.e AND gm.e >= sy.s
+sk_nums AS (
+  SELECT sk_tp.v AS p_num, (SELECT count(*)::DOUBLE FROM sk_sy) AS p_den,
+         sk_tp.v AS r_num, (SELECT count(*)::DOUBLE FROM sk_g) AS r_den
+  FROM sk_tp
 ),
-sys_cov AS (
+ov_g AS (SELECT *, row_number() OVER () AS gid FROM gold),
+ov_sy AS (SELECT *, row_number() OVER () AS sid FROM sys),
+ov_gm AS (SELECT gid, docid, s, e, unnest(string_split(kbid, '|')) AS kb1 FROM ov_g),
+ov_matched AS (
+  SELECT ov_sy.sid, ov_gm.gid, ov_sy.s AS ss, ov_sy.e AS se, ov_gm.s AS gs, ov_gm.e AS ge
+  FROM ov_sy JOIN ov_gm ON ov_sy.docid = ov_gm.docid AND ov_sy.kbid = ov_gm.kb1
+                 AND ov_gm.s <= ov_sy.e AND ov_gm.e >= ov_sy.s
+),
+ov_sys_cov AS (
   SELECT sid, max((least(se, ge) - greatest(ss, gs) + 1)::DOUBLE / (se - ss + 1)) AS cov
-  FROM matched GROUP BY sid
+  FROM ov_matched GROUP BY sid
 ),
-gold_cov AS (
+ov_gold_cov AS (
   SELECT gid, max((least(se, ge) - greatest(ss, gs) + 1)::DOUBLE / (ge - gs + 1)) AS cov
-  FROM matched GROUP BY gid
+  FROM ov_matched GROUP BY gid
 ),
-nums AS (
-  SELECT (SELECT coalesce(sum(cov), 0.0) FROM sys_cov) AS p_num,
-         (SELECT count(*)::DOUBLE FROM sy) AS p_den,
-         (SELECT coalesce(sum(cov), 0.0) FROM gold_cov) AS r_num,
-         (SELECT count(*)::DOUBLE FROM g) AS r_den
+ov_nums AS (
+  SELECT (SELECT coalesce(sum(cov), 0.0) FROM ov_sys_cov) AS p_num,
+         (SELECT count(*)::DOUBLE FROM ov_sy) AS p_den,
+         (SELECT coalesce(sum(cov), 0.0) FROM ov_gold_cov) AS r_num,
+         (SELECT count(*)::DOUBLE FROM ov_g) AS r_den
 )
-{_MEASURE_TAIL}
+{_prf_select('strong_all_match', 'sa_nums', 'measure')}
+UNION ALL
+{_prf_select('sets::kbid', 'sk_nums', 'measure')}
+UNION ALL
+{_prf_select('overlap-maxmax::span+kbid', 'ov_nums', 'measure')}
 """
 
 ORACLES["q49_tac_scan"] = """
@@ -797,18 +755,6 @@ FROM documents
 WHERE doc_id % 3 = 2
 """
 
-ORACLES["q59_cosine_neardup"] = """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
-)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
-"""
-
 ORACLES["q42_average_precision"] = """
 WITH scored AS (
   SELECT vec_id, embedding[1]::DOUBLE AS score,
@@ -826,4 +772,43 @@ SELECT round(coalesce(sum(tp_at_k::DOUBLE / k * rel) / sum(rel), 0.0), 6) AS ave
        CAST(sum(rel) AS BIGINT) AS n_pos,
        count(*) AS n
 FROM ranked
+"""
+
+ORACLES["q63_brat_scan"] = """
+SELECT column0 AS docid, column1 AS start, column2 AS "end",
+       coalesce(column3, '') AS eids, column4 AS n_cands
+FROM read_csv('/root/repo/tests/fixtures/brat/expected.tsv',
+              delim='\t', header=false,
+              columns={'column0':'VARCHAR','column1':'BIGINT','column2':'BIGINT',
+                       'column3':'VARCHAR','column4':'INT'})
+"""
+
+ORACLES["q64_conll_scan"] = """
+SELECT column0 AS docid, column1 AS cluster, column2 AS start, column3 AS "end"
+FROM read_csv('/root/repo/tests/fixtures/conll/expected.tsv',
+              delim='\t', header=false,
+              columns={'column0':'VARCHAR','column1':'VARCHAR',
+                       'column2':'BIGINT','column3':'BIGINT'})
+"""
+
+# Luo (2005) example, response 1: gold {A:5, B:2, C:5} vs response
+# {A:5, B:7}.  The optimal CEAF alignment is A<->A, C<->B (known in
+# closed form for this example; the same values the reference's
+# test_coref_metrics.py:185-207 asserts).  mention-CEAF similarity =
+# 5 + 5 = 10 over denominators 12/12; entity-CEAF (Dice) = 1 + 10/12
+# over denominators (2 response clusters, 3 true clusters).
+ORACLES["q65_ceaf_fixture"] = """
+WITH vals AS (
+  SELECT 'mention_ceaf' AS variant,
+         10.0 AS p_num, 12.0 AS p_den, 10.0 AS r_num, 12.0 AS r_den
+  UNION ALL
+  SELECT 'entity_ceaf',
+         1.0 + 10.0/12.0, 2.0, 1.0 + 10.0/12.0, 3.0
+)
+SELECT variant,
+       round(p_num, 6) AS p_num, round(p_den, 6) AS p_den,
+       round(r_num, 6) AS r_num, round(r_den, 6) AS r_den,
+       round(p, 6) AS precision, round(r, 6) AS recall,
+       round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS fscore
+FROM (SELECT *, p_num / p_den AS p, r_num / r_den AS r FROM vals)
 """

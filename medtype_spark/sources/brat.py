@@ -50,11 +50,17 @@ def read_brat_dir(spark: SparkSession, dir_path: str, ext: str = "ann") -> DataF
         F.element_at(cols, 3).alias("name"),
     )
 
-    # N lines: norm_id \t "Reference T<i> KB:id" (brat.py:94-98)
-    nparts = F.split(F.element_at(cols, 2), " ")
+    # N lines: norm_id \t "Reference T<i> KB:id" (brat.py:94-98).
+    # split limit=3 keeps spaces inside the kb id (reference.split(' ', 2));
+    # namespace strip happens BEFORE unquote (brat.py:99-100:
+    # unquote(rm_namespace(kb_id))), so an encoded "Wikipedia%3A" prefix
+    # is NOT stripped — parity with the reference's edge case.
+    nparts = F.split(F.element_at(cols, 2), " ", 3)
     kb_raw = F.element_at(nparts, 3)
+    kb_raw = F.when(
+        kb_raw.startswith(WP), F.substring(kb_raw, len(WP) + 1, 1 << 20)
+    ).otherwise(kb_raw)
     kb = F.url_decode(kb_raw)
-    kb = F.when(kb.startswith(WP), F.substring(kb, len(WP) + 1, 1 << 20)).otherwise(kb)
     norms = lines.where(F.col("value").startswith("N")).select(
         "docid",
         F.element_at(nparts, 2).alias("annot_id"),

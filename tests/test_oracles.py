@@ -20,8 +20,10 @@ SUBSET = [
     "q12_micro_macro",
     "q13_clean_text",
     "q15_minhash",
-    "q21_pairwise",
-    "q23_muc",
+    "q21_cluster_metrics",
+    "q63_brat_scan",
+    "q64_conll_scan",
+    "q65_ceaf_fixture",
     "q25_cc_chains",
     "q26_salted_pair_counts",
     "q29_multi_id_match",

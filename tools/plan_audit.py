@@ -28,19 +28,18 @@ sys.path.insert(0, "/root/repo")
 # deliberately quadratic baselines (documented in their docstrings)
 CROSS_JOIN_OK = {
     "q24_cosine_topk",       # brute-force ANN baseline, broadcast queries
-    "q59_cosine_neardup",    # exact near-dup baseline (scale path = q51)
-    "q21_pairwise", "q22_bcubed", "q23_muc", "q34_pairwise_negative",
+    "q21_cluster_metrics",   # 1-row aggregate combines
     "q29_multi_id_match", "q12_micro_macro",  # 1-row aggregate combine
-    "q46_measure_strong_all", "q47_measure_sets_kbid",
-    "q48_measure_overlap_maxmax", "q56_entity_ceaf", "q38_ceaf",
+    "q46_measures", "q38_ceaf", "q65_ceaf_fixture",
     "q42_average_precision",  # 1-row offsets frame
-    "q43_flagship_linkage", "q53_flagship_linkage",
+    "q53_flagship_linkage",
 }
 # single-partition exchanges acceptable on 1-row/k-row frames
 SINGLE_PARTITION_OK = CROSS_JOIN_OK | {
-    "q02_topk_orders", "q08_token_topk",  # TakeOrderedAndProject
+    "q08_token_topk",  # TakeOrderedAndProject
     "q30_error_labels", "q35_first_on_category", "q36_weighted_match",
     "q41_size_histogram", "q45_filter_candidates", "q49_tac_scan",
+    "q63_brat_scan", "q64_conll_scan",  # fixture-file scans, k rows
 }
 
 
