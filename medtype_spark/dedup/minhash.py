@@ -209,23 +209,40 @@ def jaccard_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              n: int = 2) -> DataFrame:
+              n: int = 2, hash_family: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over word n-grams, JVM-side bit arithmetic.
 
-    For each of 64 bit positions, sum +1/-1 votes of xxhash64(shingle)
+    For each of 64 bit positions, sum +1/-1 votes of hash(shingle)
     bits weighted by shingle frequency; the sign vector packs into a
     long.  Near-dups differ in few bits (hamming distance ≤ k).
+
+    ``hash_family``: "xxhash64" (production: one cheap 64-bit hash) or
+    "md5" (oracle-portable: bit b = bit b%4 of md5 hex digit b//4,
+    identical arithmetic in DuckDB — used by q50 so the full SimHash
+    is driver-hash-checked; same plan shape, just a pricier hash).
     """
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).withColumn("h", F.xxhash64("shingle"))
+    )
+    if hash_family == "xxhash64":
+        sh = sh.withColumn("h", F.xxhash64("shingle"))
+
+        def bit(b):
+            return F.expr(f"(h >> {b}) & 1") == 1
+    elif hash_family == "md5":
+        sh = sh.withColumn("h", F.md5("shingle"))
+
+        def bit(b):
+            return F.expr(
+                f"(shiftright(instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1, {b % 4}) & 1) = 1"
+            )
+    else:
+        raise ValueError(hash_family)
     # 64 vote sums as 64 aggregate columns in ONE groupBy — the old
     # explode(sequence(0,63)) multiplied shuffle rows ×64; this keeps
     # one row per doc and lets partial aggregation combine map-side.
     vote_aggs = [
-        F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"_v{b}")
+        F.sum(F.when(bit(b), F.lit(1)).otherwise(F.lit(-1))).alias(f"_v{b}")
         for b in range(64)
     ]
     votes = sh.groupBy(id_col).agg(*vote_aggs)

@@ -19,12 +19,18 @@ stub with the identical contract and the identical Spark-side plumbing:
   reproducible F1 acceptance.
 
 The stub "model": hashing-trick character-trigram features → fixed
-random linear head → sigmoid > 0.5.
+pseudo-random linear head → sigmoid > 0.5.
+
+Every pseudo-random ingredient (feature bucket, weight) is md5-derived
+and the decision arithmetic is INTEGER-exact (raw trigram counts ×
+integer weights; sigmoid(logit) > 0.5 ⟺ integer dot > 0), so a DuckDB
+oracle reproduces predictions bit-for-bit — no engine-specific hashing
+or float-summation-order sensitivity anywhere in the decision path.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,23 +58,48 @@ THRESHOLD = 0.5  # server/helper.py:73
 CONTEXT_LEN = 120  # server/helper.py:71
 
 
+def md5_bucket(s: str, mod: int) -> int:
+    """First 8 hex chars of md5 as an int, modulo ``mod``.
+
+    md5 — not Python ``hash`` (salted per process, would break
+    partition-invariance) and not crc32 (absent from DuckDB) — so the
+    same bucket is computable in SQL:
+    ``list_sum(...instr('0123456789abcdef', substr(md5(s), i, 1))...)``.
+    """
+    return int(hashlib.md5(s.encode("utf-8", "replace")).hexdigest()[:8], 16) % mod
+
+
 def _load_stub_weights() -> np.ndarray:
-    """Stand-in for the BERT checkpoint load (__init__.py:73-83)."""
-    rs = np.random.RandomState(SEED)
-    return rs.normal(0, 1.0, size=(N_FEATURES, len(COARSE_TYPES))).astype(np.float64)
+    """Stand-in for the BERT checkpoint load (__init__.py:73-83).
+
+    Integer-valued weights in [-1000, 1000], each a pure md5 function
+    of its (feature, class) coordinate — reproducible in SQL, and
+    integer so dot products are float-exact in any summation order.
+    """
+    w = np.empty((N_FEATURES, len(COARSE_TYPES)), dtype=np.float64)
+    for f in range(N_FEATURES):
+        for c in range(len(COARSE_TYPES)):
+            w[f, c] = md5_bucket(f"w:{f}:{c}", 2001) - 1000
+    return w
 
 
-def _featurize(texts: pd.Series) -> np.ndarray:
-    """Hashing-trick character-trigram bag features.
+def _featurize_counts(texts: pd.Series) -> np.ndarray:
+    """Raw hashing-trick character-trigram bag counts (integer-valued).
 
-    Uses crc32, NOT Python ``hash`` — string hashing is salted per
-    process, which would silently break partition-invariance.
+    Position j contributes md5_bucket(lower(text)[j:j+3]); texts
+    shorter than 3 chars contribute their whole (possibly empty) self
+    once, so no row is featureless.
     """
     out = np.zeros((len(texts), N_FEATURES), dtype=np.float64)
     for i, t in enumerate(texts.fillna("").str.lower()):
         for j in range(max(len(t) - 2, 1)):
-            h = zlib.crc32(t[j : j + 3].encode("utf-8", "replace")) % N_FEATURES
-            out[i, h] += 1.0
+            out[i, md5_bucket(t[j : j + 3], N_FEATURES)] += 1.0
+    return out
+
+
+def _featurize(texts: pd.Series) -> np.ndarray:
+    """L2-normalized trigram features (for cosine consumers)."""
+    out = _featurize_counts(texts)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms
@@ -84,9 +115,11 @@ def stub_type_scorer_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     w = _load_stub_weights()
     labels = np.array(COARSE_TYPES, dtype=object)
     for texts in batches:
-        feats = _featurize(texts)
-        logits = feats @ w
-        probs = 1.0 / (1.0 + np.exp(-logits))
+        # raw integer counts × integer weights: the threshold test
+        # sigmoid(logit) > 0.5 ⟺ dot > 0 is float-EXACT (all values
+        # integers < 2^53), so predictions are engine-portable
+        logits = _featurize_counts(texts) @ w
+        probs = 1.0 / (1.0 + np.exp(-logits / 1000.0))
         mask = probs > THRESHOLD
         yield pd.Series([list(labels[m]) for m in mask])
 

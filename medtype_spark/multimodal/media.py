@@ -20,7 +20,7 @@ a real codec changes ONLY the ``_decode_*_kernel`` bodies.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -87,12 +87,18 @@ def _fake_pixels(payload: bytes, n: int = 256) -> np.ndarray:
     """Deterministic pseudo-decode: stable bytes → [0,1) floats.
 
     STUB standing in for a real image/audio decode (no codec libs in
-    this container); same output for same payload on any partition."""
+    this container); same output for same payload on any partition.
+    Sample i = md5(md5(payload) ':' i)[:8 hex] / 2^32 — a pure md5
+    counter stream, so the DuckDB oracle for q57 reproduces the
+    decoded signal (and its stats) exactly, unlike the previous
+    np.RandomState stream which only Python could generate."""
     if not payload:
         return np.zeros(n)
-    seed = zlib.crc32(payload)
-    rs = np.random.RandomState(seed % (2**31 - 1))
-    return rs.random_sample(n)
+    d = hashlib.md5(payload).hexdigest()
+    return np.array([
+        int(hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        for i in range(n)
+    ])
 
 
 def extract_media_features(media: DataFrame, out_col: str = "features") -> DataFrame:

@@ -24,7 +24,6 @@ shape the model UDF wants.
 from __future__ import annotations
 
 import re
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,8 +40,11 @@ MAX_LEN = 128
 
 
 def _tok_ids(s: str) -> list[int]:
-    """Deterministic stub WordPiece: crc32 bucket per regex token."""
-    return [zlib.crc32(t.encode()) % VOCAB + 1000 for t in BPE_RE.findall(s)]
+    """Deterministic stub WordPiece: md5 bucket per regex token
+    (md5, not crc32, so the DuckDB oracle reproduces ids exactly)."""
+    from medtype_spark.functions.scoring import md5_bucket
+
+    return [md5_bucket(t, VOCAB) + 1000 for t in BPE_RE.findall(s)]
 
 
 WINDOW_SCHEMA = T.StructType([
@@ -192,10 +194,11 @@ def score_batches(batches: DataFrame, out_col: str = "probs") -> DataFrame:
                 feats = np.zeros((m.shape[0], n_feat))
                 rows = np.repeat(np.arange(m.shape[0]), m.shape[1])
                 np.add.at(feats, (rows, (m % n_feat).ravel()), msk.ravel())
-                norms = np.linalg.norm(feats, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                logits = (feats / norms) @ w
-                probs_col.append((1.0 / (1.0 + np.exp(-logits))).tolist())
+                # integer counts × integer weights: the logit dot is
+                # float-exact, so prob > 0.5 ⟺ dot > 0 is portable
+                # (and mask-aware: padded cells contribute 0 counts)
+                logits = feats @ w
+                probs_col.append((1.0 / (1.0 + np.exp(-logits / 1000.0))).tolist())
             pdf = pdf.copy()
             pdf[out_col] = probs_col
             yield pdf

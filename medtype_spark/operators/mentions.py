@@ -183,7 +183,7 @@ def fused_mention_scan(
             from medtype_spark.functions.scoring import (
                 COARSE_TYPES,
                 THRESHOLD,
-                _featurize,
+                _featurize_counts,
                 _load_stub_weights,
             )
 
@@ -191,8 +191,9 @@ def fused_mention_scan(
             labels = np.array(COARSE_TYPES, dtype=object)
 
             def types_of(norms: list[str]) -> list[list[str]]:
-                feats = _featurize(pd.Series(norms))
-                probs = 1.0 / (1.0 + np.exp(-(feats @ w)))
+                # integer counts × integer weights: exact, portable
+                logits = _featurize_counts(pd.Series(norms)) @ w
+                probs = 1.0 / (1.0 + np.exp(-logits / 1000.0))
                 return [list(labels[m]) for m in probs > THRESHOLD]
         else:
 

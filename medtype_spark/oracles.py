@@ -812,3 +812,313 @@ SELECT variant,
        round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS fscore
 FROM (SELECT *, p_num / p_den AS p, r_num / r_den AS r FROM vals)
 """
+
+
+# ----------------------------------------------------------------------
+# md5-stub oracles: the deterministic stand-ins (type scorer, tokenizer,
+# media decode, alias embeddings, simhash) are md5-derived with
+# integer-exact decision arithmetic, so DuckDB can recompute them from
+# scratch — features, logits, thresholds, rankings — not just replay
+# stored values.
+# ----------------------------------------------------------------------
+
+def _hex8(expr: str) -> str:
+    """SQL: first 8 hex chars of an md5 string parsed as a BIGINT —
+    the mirror of functions.scoring.md5_bucket's int(hexdigest[:8], 16)."""
+    return (
+        "list_sum(list_transform(range(1, 9), "
+        f"hx -> (instr('0123456789abcdef', substr({expr}, hx::INT, 1)) - 1)"
+        " * (16 ** (8 - hx))::BIGINT))::BIGINT"
+    )
+
+
+# integer stub weights: w(f, c) = md5_bucket('w:f:c', 2001) - 1000
+_STUB_W = f"""
+w AS (
+  SELECT f, c, ({_hex8("md5('w:' || f || ':' || c)")} % 2001 - 1000) AS w
+  FROM (SELECT unnest(range(0, 1024)) AS f), (SELECT unnest(range(0, 24)) AS c)
+)
+"""
+
+
+def _coarse_type_names_sql() -> str:
+    from medtype_spark.functions.scoring import COARSE_TYPES
+
+    rows = ",\n  ".join(
+        f"({i}, '{name}')" for i, name in enumerate(COARSE_TYPES)
+    )
+    return f"names(c, name) AS (VALUES\n  {rows})"
+
+
+ORACLES["q52_stub_type_scorer"] = f"""
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+tris AS (
+  SELECT doc_id, t, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS j
+  FROM docs
+),
+tri2 AS (SELECT doc_id, substr(t, j::INT, 3) AS tri FROM tris),
+feats AS (
+  SELECT doc_id, {_hex8("md5(tri)")} % 1024 AS bucket, count(*) AS cnt
+  FROM tri2 GROUP BY 1, 2
+),
+{_STUB_W},
+dots AS (
+  SELECT doc_id, c, sum(cnt * w) AS dot
+  FROM feats JOIN w ON bucket = f GROUP BY 1, 2
+),
+{_coarse_type_names_sql()},
+pred AS (
+  SELECT doc_id, count(*) AS n_types,
+         string_agg(name, '|' ORDER BY c) AS joined
+  FROM dots JOIN names USING (c) WHERE dot > 0 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(pred.n_types, 0)::INT AS n_types,
+       md5(coalesce(pred.joined, '')) AS types_md5
+FROM documents d LEFT JOIN pred USING (doc_id)
+"""
+
+_TOK_IDS = f"t -> {_hex8('md5(t)')} % 30000 + 1000"
+
+ORACLES["q55_token_batches"] = rf"""
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS mention_key, text FROM documents),
+parts AS (
+  SELECT mention_key,
+         regexp_extract_all(substr(text, 1, 12), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS men_toks,
+         regexp_extract_all(substr(text, 13), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')[1:60] AS nxt_toks
+  FROM docs
+),
+-- window = [CLS] + [MEN_START] + mention + [MEN_END] + next + [SEP];
+-- prev is empty (start_offset = 0) and 12-char mentions + 60 next
+-- tokens can never exceed max_len 128, so the truncation branch is
+-- provably idle on this derivation and men_pos is always 1
+ids AS (
+  SELECT mention_key,
+         [101, 1] || list_transform(men_toks, {_TOK_IDS})
+                  || [2]
+                  || list_transform(nxt_toks, {_TOK_IDS})
+                  || [102] AS toks,
+         1 AS men_pos,
+         (4 + len(men_toks) + len(nxt_toks))::INT AS tok_len
+  FROM parts
+),
+ex AS (SELECT mention_key, unnest(toks) AS id FROM ids),
+feats AS (SELECT mention_key, id % 1024 AS bucket, count(*) AS cnt FROM ex GROUP BY 1, 2),
+{_STUB_W},
+dots AS (
+  SELECT mention_key, c, sum(cnt * w) AS dot
+  FROM feats JOIN w ON bucket = f GROUP BY 1, 2
+),
+bits AS (
+  SELECT mention_key,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY c) AS pred_bits
+  FROM dots GROUP BY mention_key
+)
+SELECT i.mention_key, i.men_pos, i.tok_len, b.pred_bits
+FROM ids i JOIN bits b USING (mention_key)
+"""
+
+ORACLES["q57_media_decode"] = f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         strlen(text) AS n_bytes,
+         md5(text) AS d
+  FROM documents
+),
+sig AS (SELECT media_id, d, unnest(range(0, 256)) AS i FROM media),
+vals AS (SELECT media_id, {_hex8("md5(d || ':' || i)")} / 4294967296.0 AS v FROM sig),
+m AS (SELECT media_id, avg(v) AS mean FROM vals GROUP BY media_id),
+s AS (
+  SELECT vals.media_id, sqrt(avg((vals.v - m.mean) * (vals.v - m.mean))) AS sd
+  FROM vals JOIN m USING (media_id) GROUP BY vals.media_id
+)
+SELECT media.media_id, media.media_type,
+       round(CASE WHEN media.n_bytes = 0 THEN 0.0 ELSE m.mean END, 6) AS sig_mean,
+       round(CASE WHEN media.n_bytes = 0 THEN 0.0 ELSE s.sd END, 6) AS sig_std,
+       media.n_bytes::INT AS n_bytes,
+       64 AS n_features
+FROM media JOIN m USING (media_id) JOIN s USING (media_id)
+"""
+
+ORACLES["q50_simhash"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t)),
+                                    i -> array_to_string(t[i:i+1], ' '))
+                END) AS shingle
+  FROM toks
+),
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((instr('0123456789abcdef', substr(h, (b // 4 + 1)::INT, 1)) - 1)
+                        >> (b % 4)::INT) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0
+                THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::HUGEINT
+                          ELSE (1::BIGINT << b::INT)::HUGEINT END
+                ELSE 0::HUGEINT END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _embedding_candidates_sql() -> str:
+    """q62: re-run the ScispaCy-style retrieval in SQL.  The
+    normalized alias strings are inlined as data (they are INPUT — the
+    lexicon dimension); everything computed (trigram features, norms,
+    dots, ranking, per-eid dedup, top-k) is recomputed by DuckDB."""
+    from medtype_spark.datagen.pages import build_lexicon
+    from medtype_spark.operators.mentions import normalize_form_py
+
+    lex = build_lexicon(40)
+    rows = ",\n  ".join(
+        f"({i}, '{normalize_form_py(a)}', '{e}')"
+        for i, (a, e) in enumerate(zip(lex["alias"], lex["eid"]))
+    )
+    featurize = f"""
+  SELECT key, {_hex8("md5(tri)")} % 1024 AS bucket, count(*) AS cnt
+  FROM (
+    SELECT key, substr(s, j::INT, 3) AS tri FROM (
+      SELECT key, s, unnest(range(1, greatest(length(s) - 2, 1) + 1)) AS j
+      FROM __SRC__
+    )
+  ) GROUP BY 1, 2
+"""
+    return f"""
+WITH al(idx, alias, eid) AS (VALUES
+  {rows}),
+aft AS ({featurize.replace('__SRC__', '(SELECT idx AS key, alias AS s FROM al)')}),
+anorm AS (SELECT key, sqrt(sum(cnt * cnt)) AS nrm FROM aft GROUP BY key),
+forms AS (SELECT DISTINCT lower(source) AS norm_form FROM documents),
+fft AS ({featurize.replace('__SRC__', '(SELECT norm_form AS key, norm_form AS s FROM forms)')}),
+fnorm AS (SELECT key, sqrt(sum(cnt * cnt)) AS nrm FROM fft GROUP BY key),
+dots AS (
+  SELECT f.key AS norm_form, a.key AS idx, sum(f.cnt * a.cnt) AS dot
+  FROM fft f JOIN aft a ON f.bucket = a.bucket
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT fo.norm_form, al.idx, al.eid,
+         coalesce(d.dot, 0)::DOUBLE
+           / (CASE WHEN fn.nrm = 0 THEN 1 ELSE fn.nrm END
+              * CASE WHEN an.nrm = 0 THEN 1 ELSE an.nrm END) AS r
+  FROM forms fo
+  CROSS JOIN al
+  LEFT JOIN dots d ON d.norm_form = fo.norm_form AND d.idx = al.idx
+  JOIN fnorm fn ON fn.key = fo.norm_form
+  JOIN anorm an ON an.key = al.idx
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY norm_form ORDER BY r DESC, idx) AS rn
+  FROM scored
+),
+best AS (SELECT norm_form, eid, min(rn) AS brn FROM ranked GROUP BY 1, 2),
+er AS (
+  SELECT *, row_number() OVER (PARTITION BY norm_form ORDER BY brn) AS er
+  FROM best
+)
+SELECT norm_form,
+       least(count(*), 3)::INT AS n_cands,
+       min(CASE WHEN er = 1 THEN eid END) AS top_eid
+FROM er GROUP BY norm_form
+"""
+
+
+ORACLES["q62_embedding_candidates"] = _embedding_candidates_sql()
+
+
+# q60: the full composed near-dup pipeline INCLUDING transitive
+# closure — minhash (16 md5 hashes) → LSH banding (4 bands × 4) →
+# exact Jaccard >= 0.8 over distinct shingles → connected components
+# labeled by min doc_id, reproduced in SQL via a recursive CTE
+# (min-reachable-id over the undirected verified-pair graph).
+ORACLES["q60_neardup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES3},
+mins AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS mh
+  FROM sh, (SELECT unnest(range(0, 16)) AS h)
+  GROUP BY doc_id, h
+),
+banded AS (
+  SELECT doc_id, CAST(h // 4 AS INT) AS band,
+         md5(string_agg(mh, '|' ORDER BY h)) AS band_hash
+  FROM mins GROUP BY doc_id, CAST(h // 4 AS INT)
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.band_hash = y.band_hash
+              AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+verified AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.a
+  JOIN sizes zb ON zb.doc_id = i.b
+  WHERE n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter) >= 0.8
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM verified
+  UNION
+  SELECT b, a FROM verified
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT node AS doc_id, min(r) AS neardup_group FROM reach GROUP BY node),
+gsz AS (SELECT neardup_group, count(*) AS group_size FROM comp GROUP BY neardup_group)
+SELECT comp.doc_id, comp.neardup_group, gsz.group_size
+FROM comp JOIN gsz USING (neardup_group)
+"""
+
+
+# q61: multi-table hyperplane LSH cosine pairs.  Plane component j of
+# plane p in table t = md5_bucket('(42+1000t):p:j', 1001) - 500 — the
+# same md5 grid similarity.knn.plane_components bakes into the Spark
+# plan as literals, so DuckDB re-derives the buckets independently.
+ORACLES["q61_lsh_cosine_pairs"] = f"""
+WITH planes AS (
+  SELECT t, p,
+         list_transform(range(0, 64),
+            j -> ({_hex8("md5((42 + 1000 * t) || ':' || p || ':' || j)")} % 1001 - 500)::DOUBLE) AS comps
+  FROM (SELECT unnest(range(0, 3)) AS t), (SELECT unnest(range(0, 6)) AS p)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT e.vec_id, planes.t, planes.p,
+         CASE WHEN list_dot_product(e.v, planes.comps) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM e, planes
+),
+buckets AS (
+  SELECT vec_id, t, t || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+  FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT cand.a, cand.b,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+  FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b
+)
+SELECT a, b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.35
+"""

@@ -438,12 +438,19 @@ def q29_multi_id_match(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def q50_simhash(spark, sf_dir):
-    """SimHash (xxhash64-based — not reproducible in DuckDB)."""
-    return simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """SimHash with the md5 hash family: bit votes, sign packing and
+    all — reproduced bit-for-bit by the DuckDB oracle (the production
+    default stays xxhash64; the plan shape is identical)."""
+    return simhash64(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", hash_family="md5"
+    )
 
 
 def q52_stub_type_scorer(spark, sf_dir):
-    """Batched pandas-UDF type scoring (deterministic stub model)."""
+    """Batched pandas-UDF type scoring (deterministic stub model;
+    md5 trigram buckets × integer weights, so the DuckDB oracle
+    recomputes the full prediction — features, logits, threshold,
+    label set — independently)."""
     from medtype_spark.functions.scoring import stub_type_scorer_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -818,8 +825,10 @@ def q54_type_remap(spark, sf_dir):
 
 def q57_media_decode(spark, sf_dir):
     """Multimodal: opaque-binary media table → Arrow-batched decode
-    stats + fixed-width features (deterministic stub decode — no codec
-    libs in the container — so rows-only)."""
+    stats + fixed-width features.  The stub decode is an md5 counter
+    stream, so the DuckDB oracle regenerates the decoded signal and
+    its statistics exactly (real codecs remain the documented swap-in
+    boundary)."""
     from medtype_spark.multimodal.media import (
         decode_stats,
         extract_media_features,
@@ -863,9 +872,12 @@ def q60_neardup_clusters(spark, sf_dir):
 
 
 def q61_lsh_cosine_pairs(spark, sf_dir):
-    """Multi-table LSH cosine near-dup pairs (the scale path whose
-    exact baseline is q59; xxhash64 bucketing is engine-specific →
-    rows-only)."""
+    """Multi-table LSH cosine near-dup pairs — the scale path (salted
+    within-bucket pair generation; the exact brute-force baseline
+    lives in tests/test_knn.py's recall check).  md5-derived literal
+    hyperplanes make bucket assignment engine-portable, so the DuckDB
+    oracle recomputes planes, sign bits, bucket joins, and cosines
+    from scratch."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -878,8 +890,10 @@ def q61_lsh_cosine_pairs(spark, sf_dir):
 
 def q62_embedding_candidates(spark, sf_dir):
     """M1: ScispaCy-style char-3gram embedding kNN candidate generation
-    per distinct form (rows-only: crc32 feature hashing is
-    engine-specific)."""
+    per distinct form.  md5 trigram buckets + exact-integer dots make
+    the cosine ranking bit-portable, so the DuckDB oracle re-runs the
+    whole retrieval (featurize both sides, rank, dedup-by-eid, top-k)
+    from scratch."""
     from medtype_spark.datagen.pages import build_lexicon
     from medtype_spark.similarity.candidates import embedding_candidates
 
@@ -895,9 +909,14 @@ def q62_embedding_candidates(spark, sf_dir):
 
 
 def q55_token_batches(spark, sf_dir):
-    """P4+W5: token-window assembly → length-sorted padded batches →
-    mask-aware batched stub scoring (no SQL oracle: stub tokenizer ids
-    are crc32-based).  Emits per-batch shape stats."""
+    """P4+W5+P8 end-to-end, per-mention grain: token-window assembly →
+    length-sorted padded batches → mask-aware batched scoring →
+    explode back to one row per mention (mention_key, men_pos,
+    tok_len, 24-bit prediction string).  Per-mention output is
+    partition-invariant (batch composition is not), and the md5
+    tokenizer + integer-weight scorer make every column reproducible
+    in DuckDB — the oracle recomputes windows, truncation arithmetic,
+    token ids, and the per-class decision from scratch."""
     from medtype_spark.operators.batching import (
         assemble_token_windows,
         length_sorted_batches,
@@ -911,11 +930,20 @@ def q55_token_batches(spark, sf_dir):
     )
     win = assemble_token_windows(d)
     batches = score_batches(length_sorted_batches(win, batch_size=16))
-    return batches.select(
-        F.size("keys").alias("n_rows"),
-        F.size(F.element_at("tok_pad", 1)).alias("width"),
-        F.aggregate("tok_len", F.lit(0), lambda a, x: a + x).alias("real_tokens"),
-        F.size("probs").alias("n_scored"),
+    per_mention = batches.select(
+        F.explode(F.arrays_zip("keys", "men_pos", "tok_len", "probs")).alias("z")
+    )
+    bits = F.concat_ws(
+        "",
+        F.transform(
+            F.col("z.probs"), lambda p: F.when(p > 0.5, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
+    return per_mention.select(
+        F.col("z.keys").alias("mention_key"),
+        F.col("z.men_pos").alias("men_pos"),
+        F.col("z.tok_len").alias("tok_len"),
+        bits.alias("pred_bits"),
     )
 
 
@@ -1027,11 +1055,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q63_brat_scan,
         q64_conll_scan,
         q65_ceaf_fixture,
-        # flagship (rows-only: synthetic-page datagen is not SQL)
-        q53_flagship_linkage,
-        # rows-only (iterative / assignment-problem)
-        q38_ceaf,
         q60_neardup_clusters,
         q61_lsh_cosine_pairs,
+        # flagship (rows-only: synthetic-page datagen is not SQL)
+        q53_flagship_linkage,
+        # rows-only (assignment problem; hash-pinned via q65's fixture)
+        q38_ceaf,
     ]
 }

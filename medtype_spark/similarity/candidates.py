@@ -65,18 +65,26 @@ def embedding_candidates(
     )
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from medtype_spark.functions.scoring import _featurize
+        from medtype_spark.functions.scoring import _featurize_counts
         from medtype_spark.operators.mentions import normalize_form_py
 
         rows = lex_b.value
         aliases = [normalize_form_py(a) for a, _ in rows]
         eids = [e for _, e in rows]
-        # alias matrix computed once per worker (the index-build slot)
-        amat = _featurize(pd.Series(aliases))  # L2-normalized rows
+        # alias count matrix computed once per worker (the index-build
+        # slot).  Cosine = exact-integer dot / (norm product): the dot
+        # is float-exact (integer counts), so scores and their ordering
+        # are bit-identical across engines — the DuckDB oracle for
+        # q62 recomputes them from the same md5 trigram buckets.
+        amat = _featurize_counts(pd.Series(aliases))
+        anorm = np.linalg.norm(amat, axis=1)
+        anorm[anorm == 0] = 1.0
         for pdf in pdfs:
             vals = pdf[form_col].fillna("")
-            fmat = _featurize(vals)
-            sims = fmat @ amat.T  # cosine (both sides normalized)
+            fmat = _featurize_counts(vals)
+            fnorm = np.linalg.norm(fmat, axis=1)
+            fnorm[fnorm == 0] = 1.0
+            sims = (fmat @ amat.T) / np.outer(fnorm, anorm)
             cands_col = []
             for r in sims:
                 order = np.argsort(-r, kind="stable")

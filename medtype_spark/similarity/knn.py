@@ -7,11 +7,23 @@ generator (entity_linkers.py:25-46).  Two strategies:
   side is broadcast (queries are few); scoring is JVM-side zip_with /
   aggregate, ranking is a window per query.  Correct baseline and the
   within-block scorer.
-- ``lsh_topk``: random-hyperplane LSH — bucket on sign bits of H
-  seeded projections (computed JVM-side from xxhash64-derived
-  pseudo-random plane components), candidate join within buckets,
+- ``lsh_topk`` / ``lsh_cosine_pairs``: random-hyperplane LSH — bucket
+  on sign bits of H seeded projections, candidate join within buckets,
   exact re-rank.  The scale path: candidates per query ∝ bucket size,
   not corpus size.
+
+Plane components are md5-derived integers baked into the plan as
+LITERAL arrays: zero per-row hashing at runtime (the dot against a
+constant vector is pure whole-stage-codegen arithmetic), identical on
+every executor, and reproducible by the DuckDB oracle (q61).
+
+Skew guard (``lsh_cosine_pairs``): bucket population grows linearly
+with the corpus at fixed n_planes, so within-bucket pair generation is
+routed through ``operators.blocking.block_pairs`` — buckets beyond
+``hot_threshold`` members are salted onto a 2-D cell grid exactly like
+hot blocking keys, so no task ever materializes a whole bucket's
+quadratic.  ``auto_planes`` additionally scales the bucket count with
+the corpus (one cheap count() pre-pass).
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from medtype_spark.functions.scoring import md5_bucket
 from medtype_spark.operators.pairs import cosine_sim
 
 
@@ -54,23 +67,28 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_bits(vec_col, dim: int, n_planes: int, seed: int = 42):
-    """Sign-bit bucket key from pseudo-random hyperplanes, JVM-side.
+def plane_components(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic integer plane grid: component j of plane p =
+    md5_bucket('seed:p:j', 1001) - 500 — computable in SQL, so LSH
+    bucket assignment is engine-portable."""
+    return [
+        [float(md5_bucket(f"{seed}:{p}:{j}", 1001) - 500) for j in range(dim)]
+        for p in range(n_planes)
+    ]
 
-    Plane p component j = (xxhash64(seed, p, j) % 1001 - 500) — a fixed
-    deterministic pseudo-gaussian-ish integer grid, identical across
-    executors and runs.
+
+def _hyperplane_bits(vec_col, dim: int, n_planes: int, seed: int = 42):
+    """Sign-bit bucket key from pseudo-random hyperplanes.
+
+    The planes are md5-derived constants baked into the plan as literal
+    arrays (identical across executors and runs); the per-row work is
+    one fused zip_with/aggregate dot per plane — no runtime hashing.
     """
     bits = []
-    for p in range(n_planes):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(1001)) - 500
-            ).cast("double"),
-        )
+    for comps in plane_components(dim, n_planes, seed):
+        lit_plane = F.array(*[F.lit(c) for c in comps])
         dot = F.aggregate(
-            F.zip_with(vec_col, comps, lambda x, c: x * c),
+            F.zip_with(vec_col, lit_plane, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -87,6 +105,10 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    hot_threshold: int = 5000,
+    target_cell: int = 1000,
+    auto_planes: bool = False,
+    target_bucket: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS at corpus scale: bucketed
     self-join (never all-pairs).
@@ -94,31 +116,64 @@ def lsh_cosine_pairs(
     Multi-table LSH: ``n_tables`` independent hyperplane sets, each an
     equi-join on its own bucket key; a pair is a candidate if ANY table
     collides (union + distinct), then exact cosine filters.  More
-    tables = higher recall at linear candidate cost — the standard
-    recall knob the single-table q51 lacked.  Returns (a, b, cosine)
-    with a < b.
+    tables = higher recall at linear candidate cost.  Returns
+    (a, b, cosine) with a < b.
+
+    Scale guards (fixed bucket counts are a hidden quadratic — bucket
+    population is corpus/2^n_planes, so within-bucket pairs grow with
+    the SQUARE of corpus size):
+
+    - within-bucket pair generation goes through ``block_pairs`` with
+      the (table, bucket) pair as the blocking key: buckets larger
+      than ``hot_threshold`` are salted onto a 2-D cell grid (~
+      ``target_cell``-member cells), so the shuffle key spreads a hot
+      bucket across cells and no task sees a whole bucket — the exact
+      mechanism (and property test) used for hot blocking keys;
+    - ``auto_planes=True`` additionally derives n_planes from a
+      count() pre-pass so the EXPECTED bucket size tracks
+      ``target_bucket``: n_planes = max(n_planes,
+      ceil(log2(n / target_bucket))).  Off by default so the bucket
+      structure (and the q61 oracle) stays a pure function of the
+      arguments.
     """
+    import math
+
+    from medtype_spark.operators.blocking import block_pairs
+
+    if auto_planes:
+        n = corpus.count()
+        if n > target_bucket:
+            n_planes = max(n_planes, math.ceil(math.log2(n / target_bucket)))
+
     per_table = []
     for t in range(n_tables):
-        bucketed = corpus.select(
-            F.col(id_col), F.col(vec_col)
-        ).withColumn(
-            "_bucket",
-            _hyperplane_bits(F.col(vec_col), dim, n_planes, seed + 1000 * t),
-        )
-        a = bucketed.select(
-            F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "_bucket"
-        )
-        b = bucketed.select(
-            F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "_bucket"
-        )
         per_table.append(
-            a.join(b, "_bucket").where(F.col("a") < F.col("b")).select("a", "b", "_va", "_vb")
+            corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+                "_bucket",
+                F.concat(
+                    F.lit(f"{t}:"),
+                    _hyperplane_bits(F.col(vec_col), dim, n_planes, seed + 1000 * t),
+                ),
+            )
         )
-    cands = per_table[0]
+    bucketed = per_table[0]
     for other in per_table[1:]:
-        cands = cands.unionByName(other)
-    cands = cands.dropDuplicates(["a", "b"])
+        bucketed = bucketed.unionByName(other)
+
+    pairs = block_pairs(
+        bucketed,
+        key_col="_bucket",
+        id_col=id_col,
+        hot_threshold=hot_threshold,
+        target_cell=target_cell,
+        extra_cols=[vec_col],
+    )
+    cands = pairs.select(
+        F.col(f"a_{id_col}").alias("a"),
+        F.col(f"b_{id_col}").alias("b"),
+        F.col(f"a_{vec_col}").alias("_va"),
+        F.col(f"b_{vec_col}").alias("_vb"),
+    ).dropDuplicates(["a", "b"])
     return cands.select(
         "a", "b", cosine_sim(F.col("_va"), F.col("_vb")).alias("cosine")
     ).where(F.col("cosine") >= min_cosine)

@@ -84,3 +84,45 @@ def test_lsh_cosine_pairs_vs_brute_force(spark):
     }
     assert got <= want  # no false positives (exact verify)
     assert len(got) >= 0.9 * len(want)  # multi-table recall
+
+
+def test_lsh_cosine_pairs_hot_bucket_salted(spark):
+    """A skewed corpus (90 near-identical vectors) collapses into ONE
+    bucket per table; with hot_threshold forcing the salt path the
+    pair set must still be exactly complete AND spread over many
+    shuffle partitions — the fixed-bucket-count quadratic guard."""
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [
+        (i, [x + rng.gauss(0, 1e-6) for x in base]) for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id:long, embedding:array<double>")
+
+    overrides = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        out = lsh_cosine_pairs(
+            emb, dim=16, min_cosine=0.99, n_planes=4, n_tables=2,
+            hot_threshold=30, target_cell=10,
+        ).persist()
+        got = {(r["a"], r["b"]) for r in out.collect()}
+        # near-identical vectors: every unordered pair is a near-dup
+        want = {(a, b) for a in range(90) for b in range(90) if a < b}
+        assert got == want
+        per_part = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = sorted((r["n"] for r in per_part), reverse=True)
+        assert len(counts) >= 4  # pairs span many partitions
+        assert counts[0] < len(want)  # no single task owns the bucket
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        out.unpersist()
