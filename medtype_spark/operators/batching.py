@@ -171,36 +171,139 @@ def padding_waste(batches: DataFrame) -> DataFrame:
     )
 
 
-def score_batches(batches: DataFrame, out_col: str = "probs") -> DataFrame:
-    """Batched stub scoring over padded token matrices — the slot where
-    the transformer forward pass goes (__init__.py:506-522).  The stub
-    is mask-aware (padding never changes a row's score), so batched and
-    per-row scoring agree exactly — the property the parity test locks.
+def _bag_features(pad, mask, n_feat: int) -> np.ndarray:
+    """Mask-aware token-id bag counts for one padded batch: padded
+    cells carry mask 0.0 so they contribute nothing — the property
+    that makes batched and per-row scoring agree exactly."""
+    m = np.asarray([list(r) for r in pad], dtype=np.int64)
+    msk = np.asarray([list(r) for r in mask], dtype=np.float64)
+    feats = np.zeros((m.shape[0], n_feat))
+    rows = np.repeat(np.arange(m.shape[0]), m.shape[1])
+    np.add.at(feats, (rows, (m % n_feat).ravel()), msk.ravel())
+    return feats
+
+
+def mention_span_bag(toks: list[int], men_pos: int, n_feat: int) -> np.ndarray:
+    """Bag counts of the MENTION tokens only: indices strictly between
+    MEN_START (at ``men_pos``) and the following MEN_END marker — the
+    small-model analogue of the reference's mention-position pooling
+    (medtype-trainer/models.py pools token states at men_pos).  Control
+    ids are < 1000 and real ids ≥ 1000, so MEN_END is unambiguous."""
+    out = np.zeros(n_feat)
+    for t in toks[men_pos + 1:]:
+        if t == MEN_END:
+            break
+        out[t % n_feat] += 1.0
+    return out
+
+
+def _two_bag_features(pad, mask, men_pos_col, n_feat: int) -> np.ndarray:
+    """[window bag ‖ mention-span bag] — what the learned checkpoint
+    consumes (input dim 2 × n_feat)."""
+    window = _bag_features(pad, mask, n_feat)
+    mention = np.stack([
+        mention_span_bag(list(toks), int(mp), n_feat)
+        for toks, mp in zip(pad, men_pos_col)
+    ])
+    return np.concatenate([window, mention], axis=1)
+
+
+def score_batches(
+    batches: DataFrame,
+    out_col: str = "probs",
+    checkpoint: str | bool | None = None,
+) -> DataFrame:
+    """Batched scoring over padded token matrices — the slot where the
+    transformer forward pass goes (__init__.py:506-522).
+
+    ``checkpoint=None``: the deterministic md5 stub (integer weights,
+    oracle-portable).  ``checkpoint=True`` or a path: load REAL learned
+    weights via functions.scoring.load_checkpoint (S12) and run the
+    2-layer relu forward pass — same batch contract, same mask
+    semantics, one materialization per worker process.
     """
-    from medtype_spark.functions.scoring import COARSE_TYPES, _load_stub_weights
+    from medtype_spark.functions.scoring import _load_stub_weights, load_checkpoint
 
     out_schema = T.StructType(batches.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.ArrayType(T.DoubleType())))
     ])
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = _load_stub_weights()  # checkpoint-load slot: once per worker
-        n_feat = w.shape[0]
-        for pdf in pdfs:
-            probs_col = []
-            for pad, mask in zip(pdf["tok_pad"], pdf["tok_mask"]):
-                m = np.asarray([list(r) for r in pad], dtype=np.int64)
-                msk = np.asarray([list(r) for r in mask], dtype=np.float64)
-                feats = np.zeros((m.shape[0], n_feat))
-                rows = np.repeat(np.arange(m.shape[0]), m.shape[1])
-                np.add.at(feats, (rows, (m % n_feat).ravel()), msk.ravel())
+        if checkpoint:
+            model = load_checkpoint(None if checkpoint is True else checkpoint)
+            w1, b1, w2, b2 = model["w1"], model["b1"], model["w2"], model["b2"]
+            n_feat = w1.shape[0] // 2  # [window bag ‖ mention bag]
+
+            def featurize(pad, mask, men_pos):
+                return _two_bag_features(pad, mask, men_pos, n_feat)
+
+            def forward(feats):
+                h = np.maximum(feats @ w1 + b1, 0.0)
+                return 1.0 / (1.0 + np.exp(-(h @ w2 + b2)))
+        else:
+            w = _load_stub_weights()  # checkpoint-load slot: once per worker
+            n_feat = w.shape[0]
+
+            def featurize(pad, mask, men_pos):
+                return _bag_features(pad, mask, n_feat)
+
+            def forward(feats):
                 # integer counts × integer weights: the logit dot is
                 # float-exact, so prob > 0.5 ⟺ dot > 0 is portable
-                # (and mask-aware: padded cells contribute 0 counts)
-                logits = feats @ w
-                probs_col.append((1.0 / (1.0 + np.exp(-logits / 1000.0))).tolist())
+                return 1.0 / (1.0 + np.exp(-(feats @ w) / 1000.0))
+
+        for pdf in pdfs:
+            probs_col = [
+                forward(featurize(pad, mask, men_pos)).tolist()
+                for pad, mask, men_pos in zip(
+                    pdf["tok_pad"], pdf["tok_mask"], pdf["men_pos"]
+                )
+            ]
             pdf = pdf.copy()
             pdf[out_col] = probs_col
             yield pdf
 
     return batches.mapInPandas(run, schema=out_schema)
+
+
+def batched_type_predictions(
+    mentions: DataFrame,
+    pages: DataFrame,
+    key_col: str = "mention_key",
+    url_col: str = "url",
+    text_col: str = "extracted_text",
+    start_col: str = "start_offset",
+    end_col: str = "end_offset",
+    batch_size: int = 32,
+    checkpoint: str | bool = True,
+    threshold: float = 0.5,
+    out_col: str = "pred_type",
+) -> DataFrame:
+    """The full serving scorer path, P4 → W5 → S12 → P8/P9: join
+    mention spans back to their page text, assemble token windows,
+    length-sorted padded batches, batched forward pass with the loaded
+    checkpoint, then explode back to one (mention_key, pred_type) row
+    per mention.  Output is partition-invariant (per-mention), ready to
+    join onto the mention table."""
+    from medtype_spark.functions.scoring import COARSE_TYPES
+
+    spans = mentions.select(key_col, url_col, start_col, end_col).join(
+        pages.select(url_col, text_col), url_col
+    )
+    win = assemble_token_windows(
+        spans, text_col=text_col, start_col=start_col, end_col=end_col
+    )
+    batches = length_sorted_batches(win, key_col=key_col, batch_size=batch_size)
+    scored = score_batches(batches, checkpoint=checkpoint)
+    labels = F.array(*[F.lit(t) for t in COARSE_TYPES])
+    per = scored.select(F.explode(F.arrays_zip("keys", "probs")).alias("z"))
+    return per.select(
+        F.col("z.keys").alias(key_col),
+        F.filter(
+            F.zip_with(
+                labels, F.col("z.probs"),
+                lambda lab, p: F.when(p > threshold, lab),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias(out_col),
+    )

@@ -119,6 +119,14 @@ def run_linkage(
     - "mention": literal mention-instance pair scoring (the naive
       quadratic; kept for parity testing).
 
+    ``type_scorer``: "dict" (broadcast alias→type lookup, the default),
+    "stub" (deterministic md5 linear head), or "batched" — the
+    MedType-style batched transformer path: token-window assembly (P4),
+    length-sorted padded batches (W5), a REAL learned 2-layer
+    checkpoint loaded once per worker (S12, tools/train_type_model.py),
+    sigmoid threshold + type decode (P8/P9).  "batched" implies
+    ``fused=False`` (windows need mention offsets against page text).
+
     ``alias_embeddings``: optional broadcast-sized dimension
     (norm_form, embedding: array<double>) — when given (form grain
     only), pair scores blend Jaro-Winkler with alias-embedding cosine
@@ -137,6 +145,10 @@ def run_linkage(
         alias2types.setdefault(key, set()).add(row["type"])
     a2t_sorted = {k: sorted(v) for k, v in alias2types.items()}
 
+    if type_scorer == "batched":
+        # the batched-transformer seam needs mention offsets joined
+        # back to page text, which the fused single-hop scan folds away
+        fused = False
     if fused:
         # single-python-hop scan (extract + detect + normalize + score)
         from medtype_spark.operators.mentions import fused_mention_scan
@@ -165,6 +177,18 @@ def run_linkage(
             mentions = mentions.withColumn(
                 "pred_type", stub_type_scorer_udf(F.col("norm_form"))
             )
+        elif type_scorer == "batched":
+            # MedType-style batched transformer scoring through the
+            # full serving seam: P4 window assembly → W5 length-sorted
+            # padded batches → S12 learned-checkpoint forward pass →
+            # P8/P9 threshold + type decode, joined back per mention
+            from medtype_spark.operators.batching import batched_type_predictions
+
+            preds = batched_type_predictions(mentions, extracted)
+            mentions = mentions.join(preds, "mention_key", "left").withColumn(
+                "pred_type",
+                F.coalesce(F.col("pred_type"), F.array().cast("array<string>")),
+            )
         else:
             raise ValueError(type_scorer)
 
@@ -185,9 +209,17 @@ def run_linkage(
     # salted within-block pairs + Jaro-Winkler scoring
     persisted: list[DataFrame] = [mentions]
     if pair_grain == "form":
+        # pred_type at form grain is the UNION over the form's mention
+        # instances: deterministic (unlike first()), and for contextual
+        # scorers a union only widens type agreement — a pair is pruned
+        # only when NO instance contexts of the two forms share a type
         units = (
             mentions.groupBy("block_key", "norm_form")
-            .agg(F.first("pred_type").alias("pred_type"))
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("pred_type")))
+                ).alias("pred_type")
+            )
         )
         id_col = "norm_form"
         extra = ["pred_type"]

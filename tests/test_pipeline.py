@@ -134,3 +134,29 @@ def test_partitioning_invariance(spark, corpus):
     c1 = {(r["mention_key"], r["entity_cluster"]) for r in r1["clusters"].collect()}
     c2 = {(r["mention_key"], r["entity_cluster"]) for r in r2["clusters"].collect()}
     assert c1 == c2
+
+
+def test_flagship_f1_batched_scorer(spark, corpus):
+    """The flagship with the REAL learned transformer-seam scorer
+    (type_scorer='batched': P4 window assembly → W5 length-sorted
+    batches → S12 checkpoint load → P8/P9 threshold/decode) must hit
+    the same F1 ≥ 0.99 acceptance bar as the dict scorer — the learned
+    type predictions feed the pair-level type-agreement prune."""
+    pages, gold, lex, etypes = corpus
+    result = run_linkage(
+        pages, lex, etypes, hot_threshold=50, target_cell=25,
+        type_scorer="batched",
+    )
+    row = evaluate_linkage(result["clusters"], gold).collect()[0]
+    assert row["fscore"] >= 0.99, dict(row.asDict())
+
+    # and the learned model actually predicts the planted types: every
+    # mention's prediction set contains its gold entity's type
+    mentions = result["mentions"].select("mention", "pred_type")
+    lex_types = {row_["alias"]: row_["type"] for _, row_ in lex.iterrows()}
+    bad = [
+        (r["mention"], r["pred_type"])
+        for r in mentions.collect()
+        if lex_types.get(r["mention"]) not in (r["pred_type"] or [])
+    ]
+    assert len(bad) <= 0.02 * mentions.count(), bad[:5]
