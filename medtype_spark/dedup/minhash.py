@@ -230,12 +230,19 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         def bit(b):
             return F.expr(f"(h >> {b}) & 1") == 1
     elif hash_family == "md5":
-        sh = sh.withColumn("h", F.md5("shingle"))
+        # parse each hex digit ONCE into an int array; the 64 bit
+        # probes are then cheap shifts on array elements (16 instr
+        # calls per shingle instead of 64)
+        sh = sh.withColumn("h", F.md5("shingle")).withColumn(
+            "dg",
+            F.expr(
+                "transform(sequence(1, 16), "
+                "k -> instr('0123456789abcdef', substr(h, k, 1)) - 1)"
+            ),
+        )
 
         def bit(b):
-            return F.expr(
-                f"(shiftright(instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1, {b % 4}) & 1) = 1"
-            )
+            return F.expr(f"(shiftright(dg[{b // 4}], {b % 4}) & 1) = 1")
     else:
         raise ValueError(hash_family)
     # 64 vote sums as 64 aggregate columns in ONE groupBy — the old

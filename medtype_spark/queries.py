@@ -231,8 +231,12 @@ def q15_minhash(spark, sf_dir):
     """MinHash signature digest (md5 hash family, portable).
 
     distinct=False: min() is duplicate-insensitive, so the dedup
-    shuffle is skipped — signatures identical, one pass saved."""
-    d = _t(spark, sf_dir, "documents")
+    shuffle is skipped — signatures identical, one pass saved.
+    fan_out: the md5-per-shingle map work must not serialize on a
+    single-row-group test file (no-op on real multi-split scans)."""
+    from medtype_spark.session import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
     sh = doc_shingles(d, "text", "doc_id", n=3, distinct=False)
     sig = minhash_signatures(sh, "doc_id", num_hashes=8)
     return sig.select("doc_id", F.md5(F.concat_ws("|", "sig")).alias("sig_md5"))
@@ -246,8 +250,9 @@ def q16_ngram_jaccard(spark, sf_dir):
     is bounded per shingle AND the intersection count falls out of the
     single self-join — no join-back of pairs against posting lists."""
     from medtype_spark.dedup.minhash import capped_jaccard_pairs
+    from medtype_spark.session import fan_out
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"))
     sh = doc_shingles(d, "text", "doc_id", n=3)
     return capped_jaccard_pairs(sh, "doc_id", df_cap=50, min_jaccard=0.1).select(
         "a", "b", _r6(F.col("jaccard")).alias("jaccard")
@@ -441,8 +446,11 @@ def q50_simhash(spark, sf_dir):
     """SimHash with the md5 hash family: bit votes, sign packing and
     all — reproduced bit-for-bit by the DuckDB oracle (the production
     default stays xxhash64; the plan shape is identical)."""
+    from medtype_spark.session import fan_out
+
     return simhash64(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", hash_family="md5"
+        fan_out(_t(spark, sf_dir, "documents")), "text", "doc_id",
+        hash_family="md5",
     )
 
 

@@ -109,3 +109,18 @@ TABLES = (
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver's parquet tables from an sf directory."""
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Widen a too-coarse scan for CPU-heavy downstream map work.
+
+    Small test-scale inputs (one parquet row group) yield ONE input
+    partition, serializing hash/regex-heavy stages on a single core.
+    Repartition ONLY when the scan is narrower than the target — at
+    real scale a 100 TB table already splits into ~maxPartitionBytes
+    chunks, the guard is false, and no shuffle is added.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
