@@ -1122,3 +1122,16 @@ scored AS (
 )
 SELECT a, b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.35
 """
+
+
+# q66: our Jaro-Winkler vs DuckDB's NATIVE implementation — a genuine
+# cross-implementation differential (not a replay).  Only divergence:
+# we score identical strings (incl. '') as 1.0; DuckDB scores ''/'' as
+# 0.0, hence the CASE.
+ORACLES["q66_jw_scores"] = """
+WITH f AS (SELECT DISTINCT lower(source) AS form FROM documents)
+SELECT a.form AS a, b.form AS b,
+       round(CASE WHEN a.form = b.form THEN 1.0
+                  ELSE jaro_winkler_similarity(a.form, b.form) END, 6) AS jw
+FROM f a JOIN f b ON a.form < b.form
+"""

@@ -955,6 +955,25 @@ def q55_token_batches(spark, sf_dir):
     )
 
 
+def q66_jw_scores(spark, sf_dir):
+    """M2/flagship pairwise scorer: Jaro-Winkler over all distinct
+    source-form pairs, checked against DuckDB's NATIVE
+    jaro_winkler_similarity — an independently-implemented JW, so this
+    is a true differential test of the scorer the flagship links with
+    (our convention scores ''≡'' as 1.0; the oracle CASEs that edge)."""
+    from medtype_spark.operators.pairs import jaro_winkler_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.lower(F.col("source")).alias("form")
+    ).dropDuplicates()
+    a = d.select(F.col("form").alias("a"))
+    b = d.select(F.col("form").alias("b"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", _r6(jaro_winkler_udf(F.col("a"), F.col("b"))).alias("jw")
+    )
+
+
 def q63_brat_scan(spark, sf_dir):
     """S7: Brat standoff scan (neleval/brat.py:17-115) over committed
     fixture .ann files; the oracle reads the hand-verified expected
@@ -1065,6 +1084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q65_ceaf_fixture,
         q60_neardup_clusters,
         q61_lsh_cosine_pairs,
+        q66_jw_scores,
         # flagship (rows-only: synthetic-page datagen is not SQL)
         q53_flagship_linkage,
         # rows-only (assignment problem; hash-pinned via q65's fixture)

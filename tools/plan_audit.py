@@ -32,6 +32,7 @@ CROSS_JOIN_OK = {
     "q29_multi_id_match", "q12_micro_macro",  # 1-row aggregate combine
     "q46_measures", "q38_ceaf", "q65_ceaf_fixture",
     "q42_average_precision",  # 1-row offsets frame
+    "q66_jw_scores",  # vocabulary-sized distinct-form pair grid (tiny dim)
     "q53_flagship_linkage",
 }
 # single-partition exchanges acceptable on 1-row/k-row frames
