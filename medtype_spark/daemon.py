@@ -22,6 +22,11 @@ try:  # pragma: no cover - import side effects only
     import pyarrow  # noqa: F401
     import pyspark.sql.pandas.serializers  # noqa: F401  (arrow codepaths)
     import pyspark.worker  # noqa: F401
+
+    # materialize derived constants once; forks inherit them COW
+    from medtype_spark.functions.scoring import _load_stub_weights
+
+    _load_stub_weights()
 except Exception:  # pragma: no cover
     pass
 

@@ -87,18 +87,29 @@ def md5_bucket(s: str, mod: int) -> int:
     return int(hashlib.md5(s.encode("utf-8", "replace")).hexdigest()[:8], 16) % mod
 
 
+_STUB_W_CACHE: np.ndarray | None = None
+
+
 def _load_stub_weights() -> np.ndarray:
     """Stand-in for the BERT checkpoint load (__init__.py:73-83).
 
     Integer-valued weights in [-1000, 1000], each a pure md5 function
     of its (feature, class) coordinate — reproducible in SQL, and
     integer so dot products are float-exact in any summation order.
+
+    Cached in a module global: with worker.reuse=false each task is a
+    fresh fork, but the daemon preload (medtype_spark.daemon) builds
+    the cache once in the daemon process and every fork inherits it
+    copy-on-write — 24k md5 calls per executor, not per task.
     """
-    w = np.empty((N_FEATURES, len(COARSE_TYPES)), dtype=np.float64)
-    for f in range(N_FEATURES):
-        for c in range(len(COARSE_TYPES)):
-            w[f, c] = md5_bucket(f"w:{f}:{c}", 2001) - 1000
-    return w
+    global _STUB_W_CACHE
+    if _STUB_W_CACHE is None:
+        w = np.empty((N_FEATURES, len(COARSE_TYPES)), dtype=np.float64)
+        for f in range(N_FEATURES):
+            for c in range(len(COARSE_TYPES)):
+                w[f, c] = md5_bucket(f"w:{f}:{c}", 2001) - 1000
+        _STUB_W_CACHE = w
+    return _STUB_W_CACHE
 
 
 def _featurize_counts(texts: pd.Series) -> np.ndarray:

@@ -212,14 +212,21 @@ def run_linkage(
         # pred_type at form grain is the UNION over the form's mention
         # instances: deterministic (unlike first()), and for contextual
         # scorers a union only widens type agreement — a pair is pruned
-        # only when NO instance contexts of the two forms share a type
+        # only when NO instance contexts of the two forms share a type.
+        # explode + collect_set, NOT collect_list-of-arrays: collect_set
+        # partially aggregates map-side (≤24 types per form per map
+        # partition cross the shuffle), where collect_list would move
+        # every mention's array into the form's single reducer — a hot
+        # surface form (15% of a corpus) becomes a straggler task.
+        # explode_outer keeps all-empty forms alive (collect_set skips
+        # the null → empty set).
         units = (
-            mentions.groupBy("block_key", "norm_form")
-            .agg(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list("pred_type")))
-                ).alias("pred_type")
+            mentions.select(
+                "block_key", "norm_form",
+                F.explode_outer("pred_type").alias("_ty"),
             )
+            .groupBy("block_key", "norm_form")
+            .agg(F.array_sort(F.collect_set("_ty")).alias("pred_type"))
         )
         id_col = "norm_form"
         extra = ["pred_type"]

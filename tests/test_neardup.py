@@ -126,3 +126,29 @@ def test_lsh_cosine_pairs_hot_bucket_salted(spark):
         for k, v in old.items():
             spark.conf.set(k, v)
         out.unpersist()
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF coarse-quantizer ANN: with a healthy nprobe the probed
+    candidates must recover ≥0.9 of the exact top-3 neighbour sets."""
+    from medtype_spark.similarity.knn import brute_force_topk, ivf_topk
+
+    rng = random.Random(17)
+    rows = []
+    # 8 well-separated direction clusters x 25 members
+    bases = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    vid = 0
+    for base in bases:
+        for _ in range(25):
+            rows.append((vid, [x + rng.gauss(0, 0.15) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id:long, embedding:array<double>")
+    queries = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    got = ivf_topk(emb, queries, dim=16, k=3, n_centroids=8, nprobe=3)
+    want = brute_force_topk(emb, queries, k=3)
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    w = {(r["query_id"], r["vec_id"]) for r in want.collect()}
+    assert len(g & w) >= 0.9 * len(w)

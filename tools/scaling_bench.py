@@ -94,6 +94,15 @@ def main():
     lo = int(os.environ.get("SCALE_LO", "2"))
     hi = int(os.environ.get("SCALE_HI", "8"))
 
+    # SCALE_MIN_OF=k: each pair member is the MIN over k fresh-JVM
+    # runs.  Host interference on this shared sandbox is one-sided (it
+    # only ADDS time), so the per-level minimum estimates the
+    # uncontended runtime — the quantity the north rule's cluster-size
+    # criterion is actually about — where a single sample (or a
+    # median across a long drifting session) measures the neighbours.
+    # The full per-run distribution is still reported.
+    min_of = int(os.environ.get("SCALE_MIN_OF", "1"))
+
     if os.environ.get("SCALE_PAIRED", "1") == "1":
         # PAIRED design: alternate (lo, hi) single-rep JVMs so host
         # interference — the dominant noise on this shared sandbox,
@@ -105,17 +114,23 @@ def main():
         pairs = []
         lo_runs, hi_runs = [], []
         for _ in range(repeats):
-            r_lo = run_level(lo, n_pages, n_entities, 1)
-            r_hi = run_level(hi, n_pages, n_entities, 1)
-            lo_runs.append(r_lo["sec"])
-            hi_runs.append(r_hi["sec"])
+            lo_samples = [
+                run_level(lo, n_pages, n_entities, 1)["sec"] for _ in range(min_of)
+            ]
+            hi_results = [run_level(hi, n_pages, n_entities, 1) for _ in range(min_of)]
+            hi_samples = [r["sec"] for r in hi_results]
+            r_lo = {"sec": min(lo_samples)}
+            r_hi = hi_results[hi_samples.index(min(hi_samples))]
+            lo_runs.extend(lo_samples)
+            hi_runs.extend(hi_samples)
             pairs.append(round(r_lo["sec"] / r_hi["sec"], 3))
         srt = sorted(pairs)
         mid = len(srt) // 2
         speedup = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
         report = {
             "n_pages": n_pages,
-            "estimator": f"median_of_{repeats}_paired_speedups",
+            "estimator": (f"median_of_{repeats}_paired_speedups"
+                          + (f"_min_of_{min_of}" if min_of > 1 else "")),
             "levels": {"low_cpus": lo, "high_cpus": hi},
             "low_sec": [round(x, 2) for x in lo_runs],
             "high_sec": [round(x, 2) for x in hi_runs],
