@@ -28,6 +28,12 @@ the corpus (one cheap count() pre-pass).
 
 from __future__ import annotations
 
+# Module-level so pandas_udf can resolve the stringified 'pd.Series'
+# type hints produced by `from __future__ import annotations` (PySpark
+# looks them up in the function's __globals__).
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -340,7 +346,7 @@ def ivf_topk(
 
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
-    ).withColumn("_cell", F.explode(probes(F.col(vec_col))))
+    ).withColumn("_cell", F.explode(probes(F.col("_qvec"))))
     joined = assigned.join(
         F.broadcast(q), assigned["ivf_cell"] == q["_cell"]
     ).where(F.col(id_col) != F.col("_qid"))
