@@ -34,6 +34,19 @@ def _u01(*cols):
     return (F.pmod(F.xxhash64(*cols), F.lit(1_000_000)) / F.lit(1_000_000.0))
 
 
+def _md5_int(*cols):
+    """First 8 hex chars of md5(colon-joined cols) as a BIGINT — the
+    engine-portable twin of _u01's xxhash64 (DuckDB has no xxhash64;
+    this is the same md5 recipe as functions.scoring.md5_bucket, so
+    the driver oracle replays every trial's randomness exactly)."""
+    s = F.concat_ws(":", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _u01_md5(*cols):
+    return F.pmod(_md5_int(*cols), F.lit(1_000_000)) / F.lit(1_000_000.0)
+
+
 def _prf_diff(df: DataFrame, group: list[str]) -> DataFrame:
     """Micro-averaged fscore difference (system1 - system2) per group."""
     agg = df.groupBy(*group).agg(
@@ -57,6 +70,7 @@ def permutation_test(
     per_doc: DataFrame,
     n_trials: int = N_TRIALS,
     seed: int = 42,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """R1: two-sided paired permutation p-value (significance.py:52-70).
 
@@ -71,7 +85,8 @@ def permutation_test(
     trials = per_doc.crossJoin(
         per_doc.sparkSession.range(n_trials).select(F.col("id").alias("trial"))
     )
-    swap = _u01(F.lit(seed), F.col("trial"), F.col("docid")) < 0.5
+    u01 = _u01_md5 if hash_mode == "md5" else _u01
+    swap = u01(F.lit(seed), F.col("trial"), F.col("docid")) < 0.5
     swapped = trials.select(
         "trial",
         F.when(swap, F.col("tp2")).otherwise(F.col("tp1")).alias("tp1"),
@@ -97,6 +112,7 @@ def bootstrap_diffs(
     per_doc: DataFrame,
     n_trials: int = N_TRIALS,
     seed: int = 42,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """R2: per-trial score differences under document resampling with
     replacement (significance.py:73-90).  Returns (trial, diff)."""
@@ -112,9 +128,12 @@ def bootstrap_diffs(
     slots = spark.range(n_trials).select(F.col("id").alias("trial")).crossJoin(
         spark.range(n_docs).select(F.col("id").alias("slot"))
     )
+    hash_int = _md5_int if hash_mode == "md5" else F.xxhash64
     picks = slots.select(
         "trial",
-        F.pmod(F.xxhash64(F.lit(seed), "trial", "slot"), F.lit(n_docs)).alias("_idx"),
+        F.pmod(
+            hash_int(F.lit(seed), F.col("trial"), F.col("slot")), F.lit(n_docs)
+        ).alias("_idx"),
     )
     resampled = picks.join(docs, "_idx")
     return _prf_diff(resampled, ["trial"])
@@ -131,6 +150,41 @@ def percentile_ci(diffs: DataFrame, levels=(90, 95, 99)) -> DataFrame:
                 F.lit(lv).alias("level"),
                 F.percentile_approx("diff", lo, 10000).alias("lo"),
                 F.percentile_approx("diff", hi, 10000).alias("hi"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def percentile_ci_exact(
+    diffs: DataFrame, n_trials: int, levels=(90, 95, 99)
+) -> DataFrame:
+    """R3, engine-portable variant: CIs as exact ORDER STATISTICS of
+    the trial distribution (diff at ranks ceil(α·n) / ceil((1-α)·n),
+    1-based, ties broken by trial id) — pure selection, no
+    interpolation, so the picked doubles are bit-identical in any
+    engine that sorts the same values.  ``percentile_ci`` (above) stays
+    the production path (percentile_approx sketches scale better than
+    a full sort); this variant backs the driver-checked fixture.  The
+    rank comes from the partition-parallel global ranker — no
+    single-task global window even here."""
+    import math
+
+    from medtype_spark.operators.ranks import with_global_rank
+
+    ranked = with_global_rank(diffs, [F.asc("diff"), F.asc("trial")], rank_col="_r")
+    rows = []
+    for lv in levels:
+        alpha = (100 - lv) / 200.0
+        lo_r = max(1, math.ceil(alpha * n_trials))
+        hi_r = max(1, math.ceil((1 - alpha) * n_trials))
+        rows.append(
+            ranked.where(F.col("_r").isin(lo_r, hi_r)).agg(
+                F.lit(lv).alias("level"),
+                F.min(F.when(F.col("_r") == lo_r, F.col("diff"))).alias("lo"),
+                F.min(F.when(F.col("_r") == hi_r, F.col("diff"))).alias("hi"),
             )
         )
     out = rows[0]

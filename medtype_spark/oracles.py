@@ -143,7 +143,10 @@ ORACLES["q13_clean_text"] = """
 SELECT doc_id,
        md5(replace(replace(replace(
              regexp_replace(text, '[^[:ascii:]]', '?', 'g'),
-           chr(10), ' '), '|', ' '), chr(39), ' ')) AS clean_md5
+           chr(10), ' '), '|', ' '), chr(39), ' ')) AS clean_md5,
+       replace(regexp_replace('en.wikipedia.org/wiki/' || source || ' page',
+                              '^en\\.wikipedia\\.org/wiki/', ''),
+               ' ', '_') AS norm_link
 FROM documents
 """
 
@@ -254,13 +257,6 @@ FROM q JOIN l USING (doc_id) JOIN f USING (doc_id)
 
 ORACLES["q17_textstats"] = _textstats_sql()
 
-ORACLES["q20_normalise_link"] = """
-SELECT doc_id,
-       replace(regexp_replace('en.wikipedia.org/wiki/' || source || ' page',
-                              '^en\\.wikipedia\\.org/wiki/', ''),
-               ' ', '_') AS norm_link
-FROM documents
-"""
 
 _CLUSTER_CTES = """
 t AS (SELECT vec_id AS m, label AS c FROM embeddings),
@@ -566,15 +562,16 @@ LEFT JOIN dim d2 ON d2.key = 'pfx_' || lang
 
 
 ORACLES["q40_server_stats"] = """
-SELECT user_id, count(*) AS n_requests,
+SELECT 'client' AS kind, user_id::DOUBLE AS key, count(*) AS n,
        round(avg(value), 6) AS avg_msg_size,
        min(ts) AS first_seen, max(ts) AS last_seen
 FROM events GROUP BY user_id
-"""
-
-ORACLES["q41_size_histogram"] = """
-SELECT floor(value / 50.0) * 50.0 AS bucket_lo, count(*) AS n
-FROM events GROUP BY 1
+UNION ALL
+SELECT 'bucket' AS kind, floor(value / 50.0) * 50.0 AS key, count(*) AS n,
+       0.0::DOUBLE AS avg_msg_size,
+       TIMESTAMP '1970-01-01 00:00:00' AS first_seen,
+       TIMESTAMP '1970-01-01 00:00:00' AS last_seen
+FROM events GROUP BY floor(value / 50.0) * 50.0
 """
 
 ORACLES["q44_lsh_candidates"] = f"""
@@ -742,18 +739,6 @@ FROM j GROUP BY doc_id
 
 
 ORACLES["q54_type_remap"] = _type_remap_sql()
-
-ORACLES["q58_frame_sampling"] = """
-SELECT doc_id AS media_id,
-       CAST(doc_id % 240 + 8 AS INT) AS n_frames,
-       array_to_string(
-         list_sort(list_distinct(
-           list_transform(range(0, 4),
-                          i -> CAST(floor(i * (doc_id % 240 + 8) / 4) AS INT)))),
-         ',') AS frames
-FROM documents
-WHERE doc_id % 3 = 2
-"""
 
 ORACLES["q42_average_precision"] = """
 WITH scored AS (
@@ -937,8 +922,21 @@ SELECT media.media_id, media.media_type,
        round(CASE WHEN media.n_bytes = 0 THEN 0.0 ELSE m.mean END, 6) AS sig_mean,
        round(CASE WHEN media.n_bytes = 0 THEN 0.0 ELSE s.sd END, 6) AS sig_std,
        media.n_bytes::INT AS n_bytes,
-       64 AS n_features
+       64 AS n_features,
+       coalesce(fr.n_frames, 0) AS n_frames,
+       coalesce(fr.frames, '') AS frames
 FROM media JOIN m USING (media_id) JOIN s USING (media_id)
+LEFT JOIN (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 240 + 8 AS INT) AS n_frames,
+         array_to_string(
+           list_sort(list_distinct(
+             list_transform(range(0, 4),
+                            i -> CAST(floor(i * (doc_id % 240 + 8) / 4) AS INT)))),
+           ',') AS frames
+  FROM documents
+  WHERE doc_id % 3 = 2
+) fr USING (media_id)
 """
 
 ORACLES["q50_simhash"] = f"""
@@ -1125,13 +1123,201 @@ SELECT a, b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.35
 
 
 # q66: our Jaro-Winkler vs DuckDB's NATIVE implementation — a genuine
-# cross-implementation differential (not a replay).  Only divergence:
-# we score identical strings (incl. '') as 1.0; DuckDB scores ''/'' as
-# 0.0, hence the CASE.
+# cross-implementation differential (not a replay).  Domain capped to
+# the first 256 forms lexicographically (scale guard), and pairs whose
+# score sits within 1e-4 of a 5-digit rounding boundary are excluded
+# on both sides (two independent double implementations can differ by
+# an ulp; the guard band is ~10 orders wider, so the kept-pair set is
+# identical across engines).
 ORACLES["q66_jw_scores"] = """
-WITH f AS (SELECT DISTINCT lower(source) AS form FROM documents)
-SELECT a.form AS a, b.form AS b,
-       round(CASE WHEN a.form = b.form THEN 1.0
-                  ELSE jaro_winkler_similarity(a.form, b.form) END, 6) AS jw
-FROM f a JOIN f b ON a.form < b.form
+WITH df AS (SELECT DISTINCT lower(source) AS form FROM documents),
+f AS (
+  SELECT form FROM (
+    SELECT form, row_number() OVER (ORDER BY form) AS rk FROM df
+  ) WHERE rk <= 256
+),
+s AS (
+  SELECT a.form AS a, b.form AS b,
+         jaro_winkler_similarity(a.form, b.form) AS jw
+  FROM f a JOIN f b ON a.form < b.form
+)
+SELECT a, b, round(jw, 5) AS jw FROM s
+WHERE abs(jw * 100000 - floor(jw * 100000) - 0.5) > 0.0001
+"""
+
+
+# q67: IVF ANN fixture — md5-derived integer centroids (same grid
+# recipe as the LSH planes) + integer-quantized embeddings; assignment
+# argmax, probe top-2 cells, inner-product re-rank.  All decisions are
+# integer-exact, so DuckDB replays the whole index path from scratch.
+ORACLES["q67_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT c, list_transform(range(0, 64),
+         j -> ({_hex8("md5('ivf7:' || c || ':' || j)")} % 1001 - 500)::DOUBLE) AS cv
+  FROM (SELECT unnest(range(0, 16)) AS c)
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS v
+  FROM embeddings
+),
+ad AS (
+  SELECT e.vec_id, e.v, cents.c, list_dot_product(e.v, cents.cv) AS dot
+  FROM e, cents
+),
+assign AS (
+  SELECT vec_id, v, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 23 = 0),
+qd AS (
+  SELECT q.qid, q.qv, cents.c, list_dot_product(q.qv, cents.cv) AS dot
+  FROM q, cents
+),
+probes AS (
+  SELECT qid, qv, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, c) AS rn
+    FROM qd
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.qid, p.qv, a.vec_id, a.v
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+),
+scored AS (SELECT qid, vec_id, list_dot_product(qv, v) AS dot FROM cand),
+ranked AS (
+  SELECT qid AS query_id, vec_id, dot,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, vec_id, dot::BIGINT AS dot
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _fscore_sql(tp: str, fp: str, fn: str) -> str:
+    """Mirror of significance._prf_diff's fscore expression tree —
+    same CASE guards and left-associated IEEE arithmetic, so the
+    doubles are bit-identical across engines."""
+    p = f"(CASE WHEN {tp} + {fp} = 0 THEN 0.0::DOUBLE ELSE {tp} / ({tp} + {fp}) END)"
+    r = f"(CASE WHEN {tp} + {fn} = 0 THEN 0.0::DOUBLE ELSE {tp} / ({tp} + {fn}) END)"
+    return (
+        f"(CASE WHEN {p} + {r} = 0 THEN 0.0::DOUBLE "
+        f"ELSE 2 * {p} * {r} / ({p} + {r}) END)"
+    )
+
+
+def _significance_sql(n_trials: int = 200, seed: int = 42) -> str:
+    """q68: replay the md5-randomized permutation test, bootstrap
+    resampling, and exact-order-statistic CIs.  The CI ranks are
+    computed here with the SAME float formula as
+    metrics.significance.percentile_ci_exact (math.ceil on float
+    alpha), so rank choice can never drift between engines."""
+    import math
+
+    diff1 = _fscore_sql("tp1", "fp1", "fn1")
+    diff2 = _fscore_sql("tp2", "fp2", "fn2")
+    swap_u = _hex8(f"md5('{seed}:' || trial || ':' || docid)")
+    pick_u = _hex8(f"md5('{seed}:' || trial || ':' || slot)")
+    ci_rows = []
+    for lv in (90, 95, 99):
+        alpha = (100 - lv) / 200.0
+        lo_r = max(1, math.ceil(alpha * n_trials))
+        hi_r = max(1, math.ceil((1 - alpha) * n_trials))
+        ci_rows.append(
+            f"SELECT {lv} AS level, "
+            f"min(CASE WHEN r = {lo_r} THEN diff END) AS lo, "
+            f"min(CASE WHEN r = {hi_r} THEN diff END) AS hi FROM rb"
+        )
+    ci_union = "\n  UNION ALL\n  ".join(ci_rows)
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id AS docid,
+         doc_id % 7 AS tp1, doc_id % 5 AS fp1, doc_id % 4 AS fn1,
+         (doc_id + 3) % 7 AS tp2, (doc_id + 1) % 5 AS fp2,
+         (doc_id + 2) % 4 AS fn2
+  FROM documents WHERE doc_id % 17 = 3
+),
+base AS (
+  SELECT {diff1} - {diff2} AS base_diff FROM (
+    SELECT sum(tp1) AS tp1, sum(fp1) AS fp1, sum(fn1) AS fn1,
+           sum(tp2) AS tp2, sum(fp2) AS fp2, sum(fn2) AS fn2
+    FROM per_doc
+  )
+),
+trials AS (
+  SELECT per_doc.*, t.trial
+  FROM per_doc, (SELECT unnest(range(0, {n_trials})) AS trial) t
+),
+sw AS (
+  SELECT trial,
+         CASE WHEN u < 500000 THEN tp2 ELSE tp1 END AS tp1,
+         CASE WHEN u < 500000 THEN fp2 ELSE fp1 END AS fp1,
+         CASE WHEN u < 500000 THEN fn2 ELSE fn1 END AS fn1,
+         CASE WHEN u < 500000 THEN tp1 ELSE tp2 END AS tp2,
+         CASE WHEN u < 500000 THEN fp1 ELSE fp2 END AS fp2,
+         CASE WHEN u < 500000 THEN fn1 ELSE fn2 END AS fn2
+  FROM (SELECT *, ({swap_u}) % 1000000 AS u FROM trials)
+),
+pdiff AS (
+  SELECT trial, {diff1} - {diff2} AS diff FROM (
+    SELECT trial, sum(tp1) AS tp1, sum(fp1) AS fp1, sum(fn1) AS fn1,
+           sum(tp2) AS tp2, sum(fp2) AS fp2, sum(fn2) AS fn2
+    FROM sw GROUP BY trial
+  )
+),
+perm AS (
+  SELECT (SELECT base_diff FROM base) AS base_diff,
+         (sum(CASE WHEN abs(diff) >= abs((SELECT base_diff FROM base))
+                   THEN 1 ELSE 0 END) + 1)
+           / CAST({n_trials + 1} AS DOUBLE) AS p_value
+  FROM pdiff
+),
+docs AS (
+  SELECT *, row_number() OVER (ORDER BY docid) - 1 AS _idx FROM per_doc
+),
+slots AS (
+  SELECT t.trial, s.slot
+  FROM (SELECT unnest(range(0, {n_trials})) AS trial) t,
+       (SELECT unnest(range(0, (SELECT count(*) FROM per_doc))) AS slot) s
+),
+picks AS (
+  SELECT trial, ({pick_u}) % (SELECT count(*) FROM per_doc) AS _idx FROM slots
+),
+boots AS (
+  SELECT trial, {diff1} - {diff2} AS diff FROM (
+    SELECT p.trial, sum(tp1) AS tp1, sum(fp1) AS fp1, sum(fn1) AS fn1,
+           sum(tp2) AS tp2, sum(fp2) AS fp2, sum(fn2) AS fn2
+    FROM picks p JOIN docs d USING (_idx) GROUP BY p.trial
+  )
+),
+rb AS (SELECT trial, diff, row_number() OVER (ORDER BY diff, trial) AS r FROM boots),
+ci AS (
+  {ci_union}
+)
+SELECT ci.level, round(ci.lo, 6) AS lo, round(ci.hi, 6) AS hi,
+       round(perm.base_diff, 6) AS base_diff,
+       round(perm.p_value, 6) AS p_value,
+       {n_trials}::INT AS n_trials
+FROM ci, perm
+"""
+
+
+ORACLES["q68_significance"] = _significance_sql()
+
+
+# q69: SelectAlternatives back-off fixture — the expected selection
+# per tier is hand-derived from prepare.py:8-104 semantics (the Spark
+# side additionally round-trips the system frame through the TSV
+# sink+scan, so a parse/format break surfaces as a selection change).
+ORACLES["q69_select_alternatives"] = """
+SELECT * FROM (VALUES
+  ('doc1', 0::BIGINT, 5::BIGINT, 'E1', 1),
+  ('doc1', 20::BIGINT, 25::BIGINT, 'E7', 1),
+  ('doc2', 30::BIGINT, 34::BIGINT, 'E5', 1),
+  ('doc3', 10::BIGINT, 12::BIGINT, 'EX', 1),
+  ('doc2', 1::BIGINT, 2::BIGINT, 'E9', 1)
+) AS t(docid, start, "end", sel_eid, n_cands)
 """

@@ -215,9 +215,17 @@ def q12_micro_macro(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def q13_clean_text(spark, sf_dir):
-    """P1 clean_text, digest form (byte-identical invariant)."""
+    """P1 clean_text (digest form, byte-identical invariant) + P5
+    wikipedia link normalization over a derived URL column (formerly
+    q20, merged to keep the registry inside the driver's 50-query
+    window) — both are per-doc projections over the same scan."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.md5(clean_text_udf(F.col("text"))).alias("clean_md5"))
+    url = F.concat(F.lit("en.wikipedia.org/wiki/"), F.col("source"), F.lit(" page"))
+    return d.select(
+        "doc_id",
+        F.md5(clean_text_udf(F.col("text"))).alias("clean_md5"),
+        normalise_link_col(url).alias("norm_link"),
+    )
 
 
 def q14_exact_dedup(spark, sf_dir):
@@ -278,11 +286,6 @@ def q17_textstats(spark, sf_dir):
     return q.join(lang, "doc_id").join(fp, "doc_id")
 
 
-def q20_normalise_link(spark, sf_dir):
-    """P5: wikipedia link normalization over a derived URL column."""
-    d = _t(spark, sf_dir, "documents")
-    url = F.concat(F.lit("en.wikipedia.org/wiki/"), F.col("source"), F.lit(" page"))
-    return d.select("doc_id", normalise_link_col(url).alias("norm_link"))
 
 
 # ----------------------------------------------------------------------
@@ -655,19 +658,37 @@ def q38_ceaf(spark, sf_dir):
 
 
 def q40_server_stats(spark, sf_dir):
-    """A12: per-client request statistics (ServerStatistic analogue,
-    .../server/__init__.py:605-673)."""
-    from medtype_spark.metrics.statistics import request_stats
+    """A12+A13 merged driver row: per-client request statistics
+    (ServerStatistic analogue, .../server/__init__.py:605-673) union
+    the message-size histogram — exact groupBy replacing the
+    LRU-capped dict (server/helper.py:181-259; formerly q41, merged to
+    keep the registry inside the driver's 50-query window).  Common
+    schema (kind, key, n, avg_msg_size, first_seen, last_seen); the
+    key stays DOUBLE to avoid engine-dependent float→string
+    formatting."""
+    from medtype_spark.metrics.statistics import request_stats, size_histogram
 
-    return request_stats(_t(spark, sf_dir, "events"))
-
-
-def q41_size_histogram(spark, sf_dir):
-    """A13: message-size histogram — exact groupBy replaces the
-    LRU-capped dict (server/helper.py:181-259)."""
-    from medtype_spark.metrics.statistics import size_histogram
-
-    return size_histogram(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events")
+    clients = request_stats(ev).select(
+        F.lit("client").alias("kind"),
+        F.col("user_id").cast("double").alias("key"),
+        F.col("n_requests").alias("n"),
+        "avg_msg_size", "first_seen", "last_seen",
+    )
+    # sentinels, not NULLs, for the histogram arm: nullable timestamp/
+    # double columns round-trip as NaT/NaN with engine-dependent reprs
+    # under the driver's strict value-hash; the kind column
+    # disambiguates.
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    hist = size_histogram(ev).select(
+        F.lit("bucket").alias("kind"),
+        F.col("bucket_lo").cast("double").alias("key"),
+        F.col("n"),
+        F.lit(0.0).alias("avg_msg_size"),
+        epoch.alias("first_seen"),
+        epoch.alias("last_seen"),
+    )
+    return clients.unionByName(hist)
 
 
 def q42_average_precision(spark, sf_dir):
@@ -832,14 +853,18 @@ def q54_type_remap(spark, sf_dir):
 
 
 def q57_media_decode(spark, sf_dir):
-    """Multimodal: opaque-binary media table → Arrow-batched decode
-    stats + fixed-width features.  The stub decode is an md5 counter
-    stream, so the DuckDB oracle regenerates the decoded signal and
-    its statistics exactly (real codecs remain the documented swap-in
-    boundary)."""
+    """Multimodal, merged driver row: opaque-binary media table →
+    Arrow-batched decode stats + fixed-width features, PLUS the
+    uniform k-frame sampling plan for video rows (formerly q58, merged
+    to keep the registry inside the driver's 50-query window).  The
+    stub decode is an md5 counter stream, so the DuckDB oracle
+    regenerates the decoded signal and its statistics exactly (real
+    codecs remain the documented swap-in boundary); frame selection is
+    pure JVM metadata arithmetic — payloads untouched."""
     from medtype_spark.multimodal.media import (
         decode_stats,
         extract_media_features,
+        sample_frame_indices,
         synth_media,
     )
 
@@ -848,21 +873,24 @@ def q57_media_decode(spark, sf_dir):
     feats = extract_media_features(media).select(
         "media_id", F.size("features").alias("n_features")
     )
-    return stats.join(feats, "media_id").select(
-        "media_id", "media_type", "sig_mean", "sig_std", "n_bytes", "n_features"
-    )
-
-
-def q58_frame_sampling(spark, sf_dir):
-    """Multimodal: uniform k-frame sampling plan over video metadata —
-    pure JVM arithmetic, payloads untouched (oracle-checked)."""
-    from medtype_spark.multimodal.media import sample_frame_indices, synth_media
-
-    media = synth_media(spark, _t(spark, sf_dir, "documents"))
-    out = sample_frame_indices(media, k=4)
-    return out.select(
+    frames = sample_frame_indices(media, k=4).select(
         "media_id", "n_frames",
-        F.concat_ws(",", F.transform("frame_indices", lambda i: i.cast("string"))).alias("frames"),
+        F.concat_ws(
+            ",", F.transform("frame_indices", lambda i: i.cast("string"))
+        ).alias("frames"),
+    )
+    # sentinels (0 / '') instead of NULLs for non-video rows: nullable
+    # ints round-trip as float64 on one engine and Int32 on the other
+    # under the strict value-hash.
+    return (
+        stats.join(feats, "media_id")
+        .join(frames, "media_id", "left")
+        .select(
+            "media_id", "media_type", "sig_mean", "sig_std", "n_bytes",
+            "n_features",
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.coalesce("frames", F.lit("")).alias("frames"),
+        )
     )
 
 
@@ -956,21 +984,43 @@ def q55_token_batches(spark, sf_dir):
 
 
 def q66_jw_scores(spark, sf_dir):
-    """M2/flagship pairwise scorer: Jaro-Winkler over all distinct
+    """M2/flagship pairwise scorer: Jaro-Winkler over distinct
     source-form pairs, checked against DuckDB's NATIVE
     jaro_winkler_similarity — an independently-implemented JW, so this
-    is a true differential test of the scorer the flagship links with
-    (our convention scores ''≡'' as 1.0; the oracle CASEs that edge)."""
+    is a true differential test of the scorer the flagship links with.
+
+    Scale + robustness guards (round-3 verdict items):
+    - the pair domain is capped to the deterministic first 256 forms
+      in lexicographic order (partition-parallel global rank, not a
+      single-task sort), so the non-equi self-join stays fixture-sized
+      at any sf;
+    - pairs whose score sits within 1e-4 of a 5-digit rounding
+      boundary are excluded ON BOTH SIDES: two independent double
+      implementations can differ by an ulp, and a score exactly on a
+      .5 boundary would flip the rounded digit.  The guard band (1e-4)
+      is ~10 orders wider than any ulp divergence, so the kept-pair
+      SET is identical across engines."""
     from medtype_spark.operators.pairs import jaro_winkler_udf
+    from medtype_spark.operators.ranks import with_global_rank
 
     d = _t(spark, sf_dir, "documents").select(
         F.lower(F.col("source")).alias("form")
     ).dropDuplicates()
-    a = d.select(F.col("form").alias("a"))
-    b = d.select(F.col("form").alias("b"))
+    capped = (
+        with_global_rank(d, [F.asc("form")], rank_col="_rk")
+        .where(F.col("_rk") <= 256)
+        .select("form")
+    )
+    a = capped.select(F.col("form").alias("a"))
+    b = capped.select(F.col("form").alias("b"))
     pairs = a.join(b, F.col("a") < F.col("b"))
-    return pairs.select(
-        "a", "b", _r6(jaro_winkler_udf(F.col("a"), F.col("b"))).alias("jw")
+    jw = jaro_winkler_udf(F.col("a"), F.col("b"))
+    scored = pairs.select("a", "b", jw.alias("_jw"))
+    off_boundary = (
+        F.abs(F.col("_jw") * 100000 - F.floor(F.col("_jw") * 100000) - 0.5) > 1e-4
+    )
+    return scored.where(off_boundary).select(
+        "a", "b", F.round(F.col("_jw"), 5).alias("jw")
     )
 
 
@@ -1026,10 +1076,136 @@ def q65_ceaf_fixture(spark, sf_dir):
     return m.unionByName(e)
 
 
+def q67_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN driver row: md5-derived integer
+    centroids + integer-quantized embeddings → the REAL
+    ivf_assign/ivf_topk pandas-UDF path (argmax cell assignment, probe
+    lists, within-cell re-rank), metric='dot'.  Every decision is
+    integer-exact (sums ≪ 2^53), so numpy's batched matmul, Spark's
+    fold, and DuckDB's list_dot_product agree bit-for-bit and the
+    oracle replays assignment, probing, and ranking from scratch.  The
+    float/cosine production path keeps its recall pytest
+    (test_neardup.py) against brute force."""
+    from medtype_spark.similarity.knn import ivf_topk, md5_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("double"),
+        ).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") % 23 == 0)
+    out = ivf_topk(
+        emb,
+        queries,
+        dim=64,
+        k=3,
+        nprobe=2,
+        query_id_col="vec_id",
+        centroids=md5_centroids(64, 16, seed=7),
+        metric="dot",
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", F.col("dot").cast("long").alias("dot")
+    )
+
+
+def q68_significance(spark, sf_dir):
+    """R1+R2+R3 driver row: paired permutation p-value, bootstrap
+    resampling, and exact-order-statistic percentile CIs over a
+    deterministic per-doc contingency fixture (modular arithmetic on
+    doc_id).  Trial randomness is md5-derived (hash_mode='md5'), so
+    the DuckDB oracle replays every swap and resample decision
+    bit-for-bit; fscore arithmetic is the same IEEE expression in both
+    engines.  Production keeps xxhash64 + percentile_approx
+    (significance.py) — this fixture pins the trial machinery."""
+    from medtype_spark.metrics.significance import (
+        bootstrap_diffs,
+        percentile_ci_exact,
+        permutation_test,
+    )
+
+    n_trials = 200
+    d = F.col("doc_id")
+    per_doc = (
+        _t(spark, sf_dir, "documents")
+        .where(d % 17 == 3)
+        .select(
+            d.alias("docid"),
+            (d % 7).alias("tp1"), (d % 5).alias("fp1"), (d % 4).alias("fn1"),
+            ((d + 3) % 7).alias("tp2"), ((d + 1) % 5).alias("fp2"),
+            ((d + 2) % 4).alias("fn2"),
+        )
+    )
+    perm = permutation_test(per_doc, n_trials=n_trials, seed=42, hash_mode="md5")
+    boots = bootstrap_diffs(per_doc, n_trials=n_trials, seed=42, hash_mode="md5")
+    ci = percentile_ci_exact(boots, n_trials)
+    return ci.crossJoin(perm).select(
+        "level",
+        _r6(F.col("lo")).alias("lo"),
+        _r6(F.col("hi")).alias("hi"),
+        _r6(F.col("base_diff")).alias("base_diff"),
+        _r6(F.col("p_value")).alias("p_value"),
+        F.col("n_trials").cast("int").alias("n_trials"),
+    )
+
+
+def q69_select_alternatives(spark, sf_dir):
+    """J12 + S3/S4/S5 driver row: the system annotation frame round-
+    trips through the TSV sink and scan (write_annotation_tsv →
+    read_annotation_tsv), then SelectAlternatives resolves a gold
+    fixture exercising all four back-off tiers (span hit on the 2nd
+    gold candidate, doc-level hit, collection-level hit, fallback to
+    candidate 0) plus the single-candidate passthrough.  The oracle is
+    the hand-derived expected selection per tier (prepare.py:8-104
+    semantics)."""
+    import tempfile
+
+    from medtype_spark.evaluation.annotations import (
+        ANNOTATION_SCHEMA,
+        read_annotation_tsv,
+        write_annotation_tsv,
+    )
+    from medtype_spark.evaluation.prepare import select_alternatives
+
+    def cand(eid, score=1.0, typ="T"):
+        return (eid, score, typ)
+
+    system = spark.createDataFrame(
+        [
+            ("doc1", 0, 5, [cand("E1")]),
+            ("doc1", 10, 15, [cand("E7")]),
+            ("doc2", 0, 4, [cand("E9")]),
+            ("doc3", 2, 6, [cand("E5")]),
+        ],
+        ANNOTATION_SCHEMA,
+    )
+    gold = spark.createDataFrame(
+        [
+            ("doc1", 0, 5, [cand("E3"), cand("E1", 0.9), cand("E2", 0.8)]),
+            ("doc1", 20, 25, [cand("E7"), cand("E4", 0.9)]),
+            ("doc2", 30, 34, [cand("E8"), cand("E5", 0.9)]),
+            ("doc3", 10, 12, [cand("EX"), cand("EY", 0.9)]),
+            ("doc2", 1, 2, [cand("E9")]),
+        ],
+        ANNOTATION_SCHEMA,
+    )
+    tmp = tempfile.mkdtemp(prefix="q69_tsv_")
+    write_annotation_tsv(system, f"{tmp}/system")
+    system_rt = read_annotation_tsv(spark, f"{tmp}/system")
+    out = select_alternatives(gold, system_rt)
+    return out.select(
+        "docid", "start", "end",
+        F.col("candidates")[0]["eid"].alias("sel_eid"),
+        F.size("candidates").alias("n_cands"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Registry. The driver checks the FIRST 50 registered queries only, so
 # the order is load-bearing: oracle-backed queries first, then the
-# flagship, then the genuinely-iterative rows-only queries — 49 entries
+# flagship, then the genuinely-iterative rows-only queries — 50 entries
 # total, so every registered query gets a CORRECTNESS row.
 # ----------------------------------------------------------------------
 
@@ -1051,7 +1227,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q15_minhash,
         q16_ngram_jaccard,
         q17_textstats,
-        q20_normalise_link,
         q21_cluster_metrics,
         q24_cosine_topk,
         q25_cc_chains,
@@ -1066,7 +1241,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q36_weighted_match,
         q37_lookup_fallback,
         q40_server_stats,
-        q41_size_histogram,
         q42_average_precision,
         q44_lsh_candidates,
         q45_filter_candidates,
@@ -1077,7 +1251,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q54_type_remap,
         q55_token_batches,
         q57_media_decode,
-        q58_frame_sampling,
         q62_embedding_candidates,
         q63_brat_scan,
         q64_conll_scan,
@@ -1085,6 +1258,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q60_neardup_clusters,
         q61_lsh_cosine_pairs,
         q66_jw_scores,
+        q67_ivf_topk,
+        q68_significance,
+        q69_select_alternatives,
         # flagship (rows-only: synthetic-page datagen is not SQL)
         q53_flagship_linkage,
         # rows-only (assignment problem; hash-pinned via q65's fixture)

@@ -36,6 +36,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 
 from medtype_spark.functions.scoring import md5_bucket
 from medtype_spark.operators.pairs import cosine_sim
@@ -274,29 +276,57 @@ def train_ivf_centroids(
     return cents
 
 
+def md5_centroids(dim: int, n_centroids: int, seed: int = 7) -> "np.ndarray":
+    """Deterministic integer centroid grid for the driver-checked IVF
+    fixture: component j of centroid c = md5_bucket('ivf{seed}:c:j',
+    1001) - 500 — the same engine-portable md5 recipe as the LSH
+    hyperplanes, so the DuckDB oracle re-derives the coarse quantizer
+    from scratch.  Integer-valued float64, so every dot product against
+    integer-quantized vectors is EXACT regardless of summation order
+    (sums stay far below 2^53) — argmax/rank decisions are therefore
+    bit-portable across numpy, Spark, and DuckDB."""
+    return np.array(
+        [
+            [float(md5_bucket(f"ivf{seed}:{c}:{j}", 1001) - 500) for j in range(dim)]
+            for c in range(n_centroids)
+        ],
+        dtype=np.float64,
+    )
+
+
+def dot_sim(a, b):
+    """JVM-side inner product (sequential fold — exact on
+    integer-valued doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids,
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Nearest-centroid cell id per row (Arrow-batched argmax against
-    the broadcast centroid matrix)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
-
+    the broadcast centroid matrix).  ``metric='cosine'`` L2-normalizes
+    rows first (spherical k-means); ``metric='dot'`` ranks by raw inner
+    product (IP-IVF, the FAISS IndexIVFFlat/IP analogue) — with
+    integer-valued inputs the argmax is exact and engine-portable."""
     spark = corpus.sparkSession
     cb = spark.sparkContext.broadcast(np.asarray(centroids))
+    normalize = metric == "cosine"
 
     @pandas_udf(IntegerType())
     def cell(vecs: pd.Series) -> pd.Series:
         cents = cb.value
         x = np.array([list(v) for v in vecs], dtype=np.float64)
-        norms = np.linalg.norm(x, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        return pd.Series((x / norms @ cents.T).argmax(1).astype("int32"))
+        if normalize:
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            x = x / norms
+        return pd.Series((x @ cents.T).argmax(1).astype("int32"))
 
     return corpus.withColumn(out_col, cell(F.col(vec_col)))
 
@@ -313,37 +343,41 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids=None,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k via IVF probe lists: assign the corpus once,
-    probe each query's ``nprobe`` nearest cells, exact cosine re-rank
-    within the probed candidates.  Recall rises with nprobe at linear
+    probe each query's ``nprobe`` nearest cells, exact re-rank within
+    the probed candidates.  Recall rises with nprobe at linear
     candidate cost (the IVF knob); rank semantics match
-    brute_force_topk within the candidate set."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
+    brute_force_topk within the candidate set.  ``metric='dot'`` skips
+    normalization and ranks by raw inner product (exact on
+    integer-valued vectors — the driver-checked fixture path); score
+    column is named after the metric."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, dim, n_centroids, id_col, vec_col, seed=seed
         )
-    assigned = ivf_assign(corpus, centroids, vec_col)
+    assigned = ivf_assign(corpus, centroids, vec_col, metric=metric)
 
     spark = corpus.sparkSession
     cb = spark.sparkContext.broadcast(np.asarray(centroids))
     np_probe = min(nprobe, len(centroids))
+    normalize = metric == "cosine"
 
     @pandas_udf(ArrayType(IntegerType()))
     def probes(vecs: pd.Series) -> pd.Series:
         cents = cb.value
         x = np.array([list(v) for v in vecs], dtype=np.float64)
-        norms = np.linalg.norm(x, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = x / norms @ cents.T
+        if normalize:
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            x = x / norms
+        sims = x @ cents.T
         order = np.argsort(-sims, axis=1, kind="stable")[:, :np_probe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
+    score_col = "cosine" if normalize else "dot"
+    score_fn = cosine_sim if normalize else dot_sim
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
     ).withColumn("_cell", F.explode(probes(F.col("_qvec"))))
@@ -353,11 +387,11 @@ def ivf_topk(
     scored = joined.select(
         F.col("_qid").alias("query_id"),
         F.col(id_col),
-        cosine_sim(F.col("_qvec"), F.col(vec_col)).alias("cosine"),
+        score_fn(F.col("_qvec"), F.col(vec_col)).alias(score_col),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, "cosine")
+        .select("query_id", "rank", id_col, score_col)
     )

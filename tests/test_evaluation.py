@@ -262,3 +262,42 @@ def test_permutation_and_bootstrap(spark):
     ci = {r["level"]: (r["lo"], r["hi"]) for r in percentile_ci(diffs).collect()}
     lo, hi = ci[95]
     assert lo <= res["base_diff"] <= hi or lo > 0  # a positive-effect CI
+
+
+def test_significance_md5_mode_and_exact_ci(spark):
+    """md5 hash_mode is partition-invariant (the q68 oracle property)
+    and percentile_ci_exact returns true order statistics of the
+    bootstrap trial distribution."""
+    import math
+
+    from medtype_spark.metrics.significance import (
+        bootstrap_diffs,
+        percentile_ci_exact,
+        permutation_test,
+    )
+
+    rows = [(i, (i % 6) + 3, i % 4, i % 3, (i + 2) % 6 + 1, (i + 1) % 4, (i + 2) % 3)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "docid:long, tp1:long, fp1:long, fn1:long, tp2:long, fp2:long, fn2:long"
+    )
+    n_trials = 120
+    p1 = permutation_test(df, n_trials=n_trials, hash_mode="md5").collect()[0]
+    p2 = permutation_test(
+        df.repartition(7), n_trials=n_trials, hash_mode="md5"
+    ).collect()[0]
+    assert (p1["base_diff"], p1["p_value"]) == (p2["base_diff"], p2["p_value"])
+
+    diffs = bootstrap_diffs(df, n_trials=n_trials, hash_mode="md5")
+    trial_diffs = sorted(
+        (r["diff"], r["trial"]) for r in diffs.collect()
+    )
+    ci = {
+        r["level"]: (r["lo"], r["hi"])
+        for r in percentile_ci_exact(diffs, n_trials).collect()
+    }
+    for lv in (90, 95, 99):
+        alpha = (100 - lv) / 200.0
+        lo_r = max(1, math.ceil(alpha * n_trials))
+        hi_r = max(1, math.ceil((1 - alpha) * n_trials))
+        assert ci[lv] == (trial_diffs[lo_r - 1][0], trial_diffs[hi_r - 1][0])

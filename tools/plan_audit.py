@@ -33,13 +33,14 @@ CROSS_JOIN_OK = {
     "q46_measures", "q38_ceaf", "q65_ceaf_fixture",
     "q42_average_precision",  # 1-row offsets frame
     "q66_jw_scores",  # vocabulary-sized distinct-form pair grid (tiny dim)
+    "q68_significance",  # R1 trial expansion (docs × trial ids) + 1-row combines
     "q53_flagship_linkage",
 }
 # single-partition exchanges acceptable on 1-row/k-row frames
 SINGLE_PARTITION_OK = CROSS_JOIN_OK | {
     "q08_token_topk",  # TakeOrderedAndProject
     "q30_error_labels", "q35_first_on_category", "q36_weighted_match",
-    "q41_size_histogram", "q45_filter_candidates", "q49_tac_scan",
+    "q45_filter_candidates", "q49_tac_scan",
     "q63_brat_scan", "q64_conll_scan",  # fixture-file scans, k rows
 }
 
