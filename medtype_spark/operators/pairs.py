@@ -77,14 +77,114 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
     return j + prefix * prefix_scale * (1.0 - j)
 
 
+def _to_char_matrix(strs) -> tuple[np.ndarray, np.ndarray]:
+    """(N, Lmax) uint32 codepoint matrix (0-padded) + (N,) lengths.
+    ONE bulk join+encode for the whole batch, then a C-speed scatter —
+    no per-row Python beyond len()."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    lmax = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(lmax, 1)), dtype=np.uint32)
+    total = int(lens.sum())
+    if total:
+        buf = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+        ends = np.cumsum(lens)
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(total) - np.repeat(ends - lens, lens)
+        mat[rows, cols] = buf
+    return mat, lens
+
+
+def batch_jaro_winkler(av, bv, prefix_scale: float = 0.1) -> np.ndarray:
+    """Vectorized Jaro-Winkler over a batch of string pairs.
+
+    Bit-identical to the scalar ``jaro_winkler`` (same IEEE expression
+    order; property-tested for exact equality in tests/test_pipeline)
+    — the batch dimension is vectorized while the greedy matching scan
+    stays sequential over character positions, so per-batch cost is
+    O(Lmax · Lmax · N) numpy ops instead of N interpreted inner loops.
+    The scalar version remains the differential reference (q66 pins it
+    against DuckDB's native implementation)."""
+    n = len(av)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    a_mat, l1 = _to_char_matrix(av)
+    b_mat, l2 = _to_char_matrix(bv)
+    lmax1, lmax2 = a_mat.shape[1], b_mat.shape[1]
+    j_idx = np.arange(lmax2)
+
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    m1 = np.zeros_like(a_mat, dtype=bool)
+    m2 = np.zeros_like(b_mat, dtype=bool)
+    # free = unmatched AND within this row's b-string; matched slots
+    # are cleared in place, so the loop body needs no validity recheck
+    free = j_idx[None, :] < l2[:, None]
+
+    for i in range(lmax1):
+        active = i < l1
+        if not active.any():
+            break
+        # |j - i| <= window covers [max(0,i-w), i+w]; the j < l2 upper
+        # bound lives in `free`
+        cand = (
+            (np.abs(j_idx[None, :] - i) <= window[:, None])
+            & free
+            & (b_mat == a_mat[:, i][:, None])
+        )
+        found = cand.any(axis=1) & active
+        jstar = cand.argmax(axis=1)
+        m1[found, i] = True
+        m2[found, jstar[found]] = True
+        free[found, jstar[found]] = False
+
+    matches = m1.sum(axis=1)
+
+    # transpositions: gather each side's matched chars in order
+    mmax = int(matches.max()) if n else 0
+    if mmax:
+        s1m = np.zeros((n, mmax), dtype=np.uint32)
+        s2m = np.zeros((n, mmax), dtype=np.uint32)
+        r1, c1 = np.nonzero(m1)
+        s1m[r1, (np.cumsum(m1, axis=1, dtype=np.int32)[r1, c1] - 1)] = a_mat[r1, c1]
+        r2, c2 = np.nonzero(m2)
+        s2m[r2, (np.cumsum(m2, axis=1, dtype=np.int32)[r2, c2] - 1)] = b_mat[r2, c2]
+        mcols = np.arange(mmax)[None, :] < matches[:, None]
+        t = ((s1m != s2m) & mcols).sum(axis=1) // 2
+    else:
+        t = np.zeros(n, dtype=np.int64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (
+            matches / l1 + matches / l2 + (matches - t) / np.maximum(matches, 1)
+        ) / 3.0
+    jaro = np.where(matches == 0, 0.0, jaro)
+    jaro = np.where((l1 == 0) | (l2 == 0), 0.0, jaro)
+
+    # exact-equality fast path (incl. '' == '' → 1.0, as the scalar):
+    # equal strings have length ≤ min(pad widths), and both matrices
+    # 0-pad beyond the string, so comparing the common width suffices
+    w = min(lmax1, lmax2)
+    equal = (l1 == l2) & (a_mat[:, :w] == b_mat[:, :w]).all(axis=1)
+    jaro = np.where(equal, 1.0, jaro)
+
+    # Winkler prefix boost (cap 4), only above 0.7 and for non-equal
+    pmax = min(4, lmax1, lmax2)
+    if pmax:
+        pref_eq = a_mat[:, :pmax] == b_mat[:, :pmax]
+        in_len = np.arange(pmax)[None, :] < np.minimum(l1, l2)[:, None]
+        running = np.cumprod(pref_eq & in_len, axis=1).astype(bool)
+        prefix = running.sum(axis=1)
+    else:
+        prefix = np.zeros(n, dtype=np.int64)
+    boosted = jaro + prefix * prefix_scale * (1.0 - jaro)
+    return np.where(equal, 1.0, np.where(jaro <= 0.7, jaro, boosted))
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     av = a.fillna("").to_numpy()
     bv = b.fillna("").to_numpy()
-    out = np.empty(len(av), dtype=np.float64)
-    for i in range(len(av)):
-        out[i] = jaro_winkler(av[i], bv[i])
-    return pd.Series(out)
+    return pd.Series(batch_jaro_winkler(av, bv))
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -99,3 +99,47 @@ def test_extra_cols_carried_and_swapped(spark):
     r = res[0]
     assert (r["a_mention_key"], r["a_payload"]) == ("id1", "v1")
     assert (r["b_mention_key"], r["b_payload"]) == ("id2", "v2")
+
+
+def test_batch_jaro_winkler_bitwise_equals_scalar():
+    """The vectorized JW kernel must be BIT-identical to the scalar
+    reference (which q66 pins against DuckDB's native implementation):
+    same IEEE expression order, same greedy matching, same edge cases
+    (empty strings, equality, unicode, long transposed strings)."""
+    import random as _random
+
+    import numpy as np
+
+    from medtype_spark.operators.pairs import batch_jaro_winkler, jaro_winkler
+
+    rng = _random.Random(99)
+    alphabet = "abcdefg αβγ💡-"
+    cases = ["", "a", "ab", "martha", "marhta", "dixon", "dicksonx",
+             "jellyfish", "smellyfish", "💡💡a", "a💡💡"]
+    for _ in range(600):
+        n = rng.randint(0, 12)
+        cases.append("".join(rng.choice(alphabet) for _ in range(n)))
+    pairs = [(rng.choice(cases), rng.choice(cases)) for _ in range(3000)]
+    pairs += [(c, c) for c in cases]
+
+    av = np.array([p[0] for p in pairs], dtype=object)
+    bv = np.array([p[1] for p in pairs], dtype=object)
+    got = batch_jaro_winkler(av, bv)
+    for i, (a, b) in enumerate(pairs):
+        want = jaro_winkler(a, b)
+        assert got[i] == want, (a, b, got[i], want)
+
+
+def test_batch_jaro_winkler_known_values():
+    """Published JW examples (Winkler 1990) as sanity anchors."""
+    import numpy as np
+
+    from medtype_spark.operators.pairs import batch_jaro_winkler
+
+    got = batch_jaro_winkler(
+        np.array(["martha", "dixon", "abc"], dtype=object),
+        np.array(["marhta", "dicksonx", "abc"], dtype=object),
+    )
+    assert abs(got[0] - 0.9611111111111111) < 1e-12
+    assert abs(got[1] - 0.8133333333333332) < 1e-12
+    assert got[2] == 1.0
