@@ -127,12 +127,15 @@ def connected_components(
     Returns DataFrame(node, component).
     """
     spark = edges.sparkSession
+    # lazy: the small-graph path consumes the edge set exactly once
+    # (the probe fetch), so pinning it with an eager checkpoint here
+    # would cost a whole extra materialization job; the distributed
+    # path checkpoints before iterating (below).
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
 
     all_nodes = e.select(F.col("u").alias(vertex_col)).union(
@@ -162,6 +165,10 @@ def connected_components(
         return all_nodes.select(
             F.col(vertex_col).alias("node"), F.col(vertex_col).alias("component")
         )
+
+    # distributed path: pin the deduplicated edge set so each
+    # alternating-star round starts from materialized lineage
+    e = e.localCheckpoint()
 
     # Convergence is detected by an edge-set fingerprint, one cheap
     # aggregate job.  ``check_every`` batches rounds per fingerprint:

@@ -318,6 +318,12 @@ def run_linkage(
         "pairs": scored,
         "edges": edges,
         "clusters": clusters,
+        # with cleanup=False the caller owns the caches: consume the
+        # result (e.g. evaluate + checkpoint a downstream row), then
+        # unpersist these.  Folding eval into the final job this way
+        # saves a whole materialization of the mention-grain cluster
+        # table when only a derived aggregate is needed.
+        "persisted_frames": [] if cleanup else persisted,
     }
 
 

@@ -480,11 +480,24 @@ def q53_flagship_linkage(spark, sf_dir):
     from medtype_spark.datagen.pages import build_lexicon, entity_types_df, synth_pages
     from medtype_spark.pipeline import evaluate_linkage, run_linkage
 
-    pages, gold = synth_pages(spark, 2000, n_entities=60, seed=42)
+    # partitions=4: python tasks fork a fresh worker each (session
+    # pins worker.reuse=false for the sandbox), so scan-stage task
+    # count IS the fixed cost at this 2000-page fixture size; results
+    # are partition-invariant (tested).  Real corpora get their
+    # partitioning from the input layout.
+    pages, gold = synth_pages(spark, 2000, n_entities=60, seed=42, partitions=4)
     lex = build_lexicon(60)
     etypes = entity_types_df(spark, 60)
-    result = run_linkage(pages, lex, etypes, hot_threshold=500, target_cell=200, cleanup=True)
-    return _metric_out(evaluate_linkage(result["clusters"], gold))
+    # cleanup=False + checkpoint of the 1-row EVAL result (not the
+    # mention-grain cluster table): the final job computes clusters
+    # from the persisted mentions/edges and folds evaluation into the
+    # same action, saving one full materialization; caches are then
+    # released here, so bench loops stay clean.
+    result = run_linkage(pages, lex, etypes, hot_threshold=500, target_cell=200)
+    row = _metric_out(evaluate_linkage(result["clusters"], gold)).localCheckpoint()
+    for df in result["persisted_frames"]:
+        df.unpersist()
+    return row
 
 
 # (the full ordered registry is assembled once at the bottom of this
