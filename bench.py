@@ -6,13 +6,18 @@ Prints ONE JSON line:
 
 Methodology mirrors the reference harness
 (medtype-as-service/server/medtype_serving/server/benchmark.py:26-31):
-a warm-up pass is run and discarded before timing.
+a warm-up pass is run and discarded before timing.  Each query is then
+timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the per-query median
+is reported, so round-over-round deltas are signal rather than sandbox
+noise (a single-run harness swung +-33% between rounds 3 and 4 with no
+code change on most queries).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,18 +55,24 @@ def main():
     # warm-up (discarded, benchmark.py:30)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()  # warm-up, discarded (benchmark.py:30)
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        dt = statistics.median(samples)
         times[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s median of {[round(s, 3) for s in samples]}"
+              f" ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -75,6 +86,7 @@ def main():
         "queries": times,
         "sf": sf_val,
         "cpus": int(cpus),
+        "estimator": f"median_of_{runs}",
     }))
 
 

@@ -71,6 +71,14 @@ def clean_text_udf(s: pd.Series) -> pd.Series:
     return clean_text_pandas(s)
 
 
+@pandas_udf(StringType())
+def clean_collapse_udf(s: pd.Series) -> pd.Series:
+    """clean_text then collapse space runs — the reference's full
+    normalization chain (server helper.py:264-288, clean_text followed
+    by replace(text, ' '))."""
+    return collapse_char_pandas(clean_text_pandas(s), " ")
+
+
 def collapse_char_pandas(s: pd.Series, ch: str) -> pd.Series:
     """Vectorized collapse_char via three ordered regex passes.
 

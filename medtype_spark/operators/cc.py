@@ -127,10 +127,12 @@ def connected_components(
     Returns DataFrame(node, component).
     """
     spark = edges.sparkSession
-    # lazy: the small-graph path consumes the edge set exactly once
-    # (the probe fetch), so pinning it with an eager checkpoint here
-    # would cost a whole extra materialization job; the distributed
-    # path checkpoints before iterating (below).
+    # lazy: the small-graph path consumes the edge set exactly once —
+    # the probe fetch is its ONLY action over this lineage (the
+    # returned plan is built from the collected probe rows plus
+    # ``vertices``, never from ``e``) — so pinning it with an eager
+    # checkpoint here would cost a whole extra materialization job;
+    # the distributed path checkpoints before iterating (below).
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -138,12 +140,10 @@ def connected_components(
         .distinct()
     )
 
-    all_nodes = e.select(F.col("u").alias(vertex_col)).union(
-        e.select(F.col("v").alias(vertex_col))
-    )
-    if vertices is not None:
-        all_nodes = all_nodes.union(vertices.select(F.col(vertex_col)))
-    all_nodes = all_nodes.distinct()
+    def _vertices_self_labeled():
+        return vertices.select(F.col(vertex_col).alias("node")).distinct().select(
+            "node", F.col("node").alias("component")
+        )
 
     if small_graph_threshold is not None:
         # one job decides AND fetches: limit(t+1).toPandas() returning
@@ -151,20 +151,41 @@ def connected_components(
         # so the separate count() job disappears from the common path
         probe = e.limit(small_graph_threshold + 1).select("u", "v").toPandas()
         if len(probe) == 0:
-            return all_nodes.select(
-                F.col(vertex_col).alias("node"), F.col(vertex_col).alias("component")
-            )
+            if vertices is None:
+                return spark.createDataFrame([], T.StructType([
+                    T.StructField("node", e.schema["u"].dataType),
+                    T.StructField("component", e.schema["u"].dataType),
+                ]))
+            return _vertices_self_labeled()
         if len(probe) <= small_graph_threshold:
+            # the probe IS the complete edge set, so union-find labels
+            # cover every edge-touched node; only isolated vertices
+            # (in ``vertices`` but untouched by any edge) are added,
+            # self-labeled, via a broadcast anti-join — the edge
+            # lineage is not consumed again
             labels = _driver_union_find_pdf(probe, e)
-            return (
-                all_nodes.select(F.col(vertex_col).alias("node"))
-                .join(F.broadcast(labels), "node", "left")
-                .select("node", F.coalesce("component", "node").alias("component"))
+            if vertices is None:
+                return labels
+            iso = (
+                vertices.select(F.col(vertex_col).alias("node")).distinct()
+                .join(F.broadcast(labels.select("node")), "node", "left_anti")
+                .select("node", F.col("node").alias("component"))
             )
+            return labels.unionByName(iso)
     elif e.isEmpty():
-        return all_nodes.select(
-            F.col(vertex_col).alias("node"), F.col(vertex_col).alias("component")
-        )
+        if vertices is None:
+            return spark.createDataFrame([], T.StructType([
+                T.StructField("node", e.schema["u"].dataType),
+                T.StructField("component", e.schema["u"].dataType),
+            ]))
+        return _vertices_self_labeled()
+
+    all_nodes = e.select(F.col("u").alias(vertex_col)).union(
+        e.select(F.col("v").alias(vertex_col))
+    )
+    if vertices is not None:
+        all_nodes = all_nodes.union(vertices.select(F.col(vertex_col)))
+    all_nodes = all_nodes.distinct()
 
     # distributed path: pin the deduplicated edge set so each
     # alternating-star round starts from materialized lineage

@@ -180,11 +180,42 @@ def batch_jaro_winkler(av, bv, prefix_scale: float = 0.1) -> np.ndarray:
     return np.where(equal, 1.0, np.where(jaro <= 0.7, jaro, boosted))
 
 
+# Length-bucket boundaries for the batched kernel: its cost and memory
+# are O(N·Lmax1·Lmax2) for the BATCH's max lengths, so one long outlier
+# string would inflate the work for every row sharing its Arrow batch.
+# Rows are grouped by max(len(a), len(b)) and each bucket runs the
+# kernel at its own (much smaller) Lmax; rows beyond the last boundary
+# fall back to the scalar reference kernel (identical results — the
+# batch kernel is property-tested bit-equal to it).
+_JW_LENGTH_BUCKETS = (16, 64, 256, 2048)
+
+
+def batch_jaro_winkler_bucketed(av, bv, prefix_scale: float = 0.1) -> np.ndarray:
+    """`batch_jaro_winkler` with length-bucketing: same results for any
+    batch composition, but a long outlier only pays for itself."""
+    n = len(av)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    la = np.fromiter((len(s) for s in av), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in bv), dtype=np.int64, count=n)
+    bucket = np.searchsorted(np.asarray(_JW_LENGTH_BUCKETS), np.maximum(la, lb))
+    for b_id in np.unique(bucket):
+        idx = np.nonzero(bucket == b_id)[0]
+        if b_id == len(_JW_LENGTH_BUCKETS):
+            out[idx] = [
+                jaro_winkler(av[i], bv[i], prefix_scale) for i in idx
+            ]
+        else:
+            out[idx] = batch_jaro_winkler(av[idx], bv[idx], prefix_scale)
+    return out
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     av = a.fillna("").to_numpy()
     bv = b.fillna("").to_numpy()
-    return pd.Series(batch_jaro_winkler(av, bv))
+    return pd.Series(batch_jaro_winkler_bucketed(av, bv))
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -139,15 +139,27 @@ SELECT 'macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
 FROM prf2
 """
 
-ORACLES["q13_clean_text"] = """
-SELECT doc_id,
-       md5(replace(replace(replace(
+ORACLES["q13_clean_text"] = r"""
+WITH cleaned AS (
+  SELECT doc_id, source,
+         replace(replace(replace(
              regexp_replace(text, '[^[:ascii:]]', '?', 'g'),
-           chr(10), ' '), '|', ' '), chr(39), ' ')) AS clean_md5,
+           chr(10), ' '), '|', ' '), chr(39), ' ') AS ct
+  FROM documents
+)
+SELECT doc_id,
+       md5(ct) AS clean_md5,
+       -- collapse_char(ct, ' ') without lookbehind (RE2): (1) drop a
+       -- lone trailing space not preceded by a space, (2) drop the
+       -- leading run, (3) collapse interior runs to one space.
+       -- Differentially verified against the reference char loop.
+       md5(regexp_replace(regexp_replace(regexp_replace(ct,
+             '([^ ]|^) $', '\1'), '^ +', ''), '  +', ' ', 'g'))
+         AS collapsed_md5,
        replace(regexp_replace('en.wikipedia.org/wiki/' || source || ' page',
-                              '^en\\.wikipedia\\.org/wiki/', ''),
+                              '^en\.wikipedia\.org/wiki/', ''),
                ' ', '_') AS norm_link
-FROM documents
+FROM cleaned
 """
 
 ORACLES["q14_exact_dedup"] = """
@@ -572,6 +584,41 @@ SELECT 'bucket' AS kind, floor(value / 50.0) * 50.0 AS key, count(*) AS n,
        TIMESTAMP '1970-01-01 00:00:00' AS first_seen,
        TIMESTAMP '1970-01-01 00:00:00' AS last_seen
 FROM events GROUP BY floor(value / 50.0) * 50.0
+UNION ALL
+-- streaming arm: from-scratch replay of the operative-watermark
+-- protocol over the same deterministic 4-batch fixture the Spark side
+-- actually streams (streaming/serving.py WINDOW_FIXTURE_BATCHES).
+-- The watermark computed from batch N's max event time becomes
+-- operative in batch N+2, so each row is kept iff ts >= (max ts over
+-- batches <= its batch - 2) - 30min; append mode then emits exactly
+-- the windows whose end <= the final watermark.
+SELECT 'window' AS kind, key, n, avg_msg_size, first_seen, last_seen
+FROM (
+  WITH fx(batch, user_id, ts, value) AS (VALUES
+    (0, 1, TIMESTAMP '2024-01-01 00:01:00', 10.0),
+    (0, 1, TIMESTAMP '2024-01-01 00:04:00', 20.0),
+    (0, 2, TIMESTAMP '2024-01-01 00:12:00', 5.0),
+    (1, 9, TIMESTAMP '2024-01-01 09:00:00', 1.0),
+    (2, 9, TIMESTAMP '2024-01-01 09:01:00', 1.0),
+    (3, 1, TIMESTAMP '2024-01-01 00:02:00', 999.0)),
+  kept AS (
+    SELECT f.* FROM fx f
+    WHERE f.ts >= coalesce(
+      (SELECT max(g.ts) - INTERVAL 30 MINUTE FROM fx g
+       WHERE g.batch <= f.batch - 2),
+      TIMESTAMP '1900-01-01 00:00:00')
+  ),
+  final_wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM kept),
+  agg AS (
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, user_id,
+           count(*) AS n, round(avg(value), 6) AS avg_msg_size
+    FROM kept GROUP BY 1, 2)
+  SELECT CAST(user_id AS DOUBLE) AS key, n, avg_msg_size,
+         window_start AS first_seen,
+         window_start + INTERVAL 10 MINUTE AS last_seen
+  FROM agg, final_wm
+  WHERE window_start + INTERVAL 10 MINUTE <= final_wm.wm
+)
 """
 
 ORACLES["q44_lsh_candidates"] = f"""

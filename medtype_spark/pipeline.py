@@ -49,7 +49,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     """
     from medtype_spark.operators.mentions import EXTRACT_RE
 
-    decoded = html.apply(lambda b: b.decode("utf-8", "replace") if b is not None else "")
+    decoded = html.str.decode("utf-8", errors="replace").fillna("")
     return decoded.str.extract(EXTRACT_RE, expand=False).fillna("")
 
 

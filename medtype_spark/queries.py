@@ -30,7 +30,11 @@ from medtype_spark.dedup.minhash import (
     minhash_signatures,
     simhash64,
 )
-from medtype_spark.functions.text import clean_text_udf, normalise_link_col
+from medtype_spark.functions.text import (
+    clean_collapse_udf,
+    clean_text_udf,
+    normalise_link_col,
+)
 from medtype_spark.metrics.clustering import b_cubed, muc, pairwise
 from medtype_spark.metrics.matrix import contingency_prf, micro_macro
 from medtype_spark.operators.blocking import block_pairs
@@ -215,15 +219,18 @@ def q12_micro_macro(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def q13_clean_text(spark, sf_dir):
-    """P1 clean_text (digest form, byte-identical invariant) + P5
-    wikipedia link normalization over a derived URL column (formerly
-    q20, merged to keep the registry inside the driver's 50-query
-    window) — both are per-doc projections over the same scan."""
+    """P1 clean_text (digest form, byte-identical invariant) + P2
+    collapse_char (the quirky run-collapsing loop, server
+    helper.py:271-288, applied after clean_text as the reference does)
+    + P5 wikipedia link normalization over a derived URL column
+    (formerly q20; merged to keep the registry inside the driver's
+    50-query window) — all are per-doc projections over the same scan."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("en.wikipedia.org/wiki/"), F.col("source"), F.lit(" page"))
     return d.select(
         "doc_id",
         F.md5(clean_text_udf(F.col("text"))).alias("clean_md5"),
+        F.md5(clean_collapse_udf(F.col("text"))).alias("collapsed_md5"),
         normalise_link_col(url).alias("norm_link"),
     )
 
@@ -675,11 +682,16 @@ def q40_server_stats(spark, sf_dir):
     (ServerStatistic analogue, .../server/__init__.py:605-673) union
     the message-size histogram — exact groupBy replacing the
     LRU-capped dict (server/helper.py:181-259; formerly q41, merged to
-    keep the registry inside the driver's 50-query window).  Common
-    schema (kind, key, n, avg_msg_size, first_seen, last_seen); the
-    key stays DOUBLE to avoid engine-dependent float→string
-    formatting."""
+    keep the registry inside the driver's 50-query window) union the
+    WATERMARKED STREAMING variant run on a real micro-batch stream
+    over a deterministic 4-batch fixture (kind='window'; one late row
+    dropped by the watermark, append mode emits only finalized
+    windows — the oracle replays the operative-watermark protocol from
+    scratch in SQL).  Common schema (kind, key, n, avg_msg_size,
+    first_seen, last_seen); the key stays DOUBLE to avoid
+    engine-dependent float→string formatting."""
     from medtype_spark.metrics.statistics import request_stats, size_histogram
+    from medtype_spark.streaming.serving import windowed_stats_fixture_run
 
     ev = _t(spark, sf_dir, "events")
     clients = request_stats(ev).select(
@@ -701,7 +713,15 @@ def q40_server_stats(spark, sf_dir):
         epoch.alias("first_seen"),
         epoch.alias("last_seen"),
     )
-    return clients.unionByName(hist)
+    win = windowed_stats_fixture_run(spark).select(
+        F.lit("window").alias("kind"),
+        F.col("user_id").cast("double").alias("key"),
+        F.col("n_requests").alias("n"),
+        "avg_msg_size",
+        F.col("window_start").alias("first_seen"),
+        (F.col("window_start") + F.expr("INTERVAL 10 MINUTES")).alias("last_seen"),
+    )
+    return clients.unionByName(hist).unionByName(win)
 
 
 def q42_average_precision(spark, sf_dir):
@@ -1173,6 +1193,7 @@ def q69_select_alternatives(spark, sf_dir):
     candidate 0) plus the single-candidate passthrough.  The oracle is
     the hand-derived expected selection per tier (prepare.py:8-104
     semantics)."""
+    import shutil
     import tempfile
 
     from medtype_spark.evaluation.annotations import (
@@ -1204,9 +1225,17 @@ def q69_select_alternatives(spark, sf_dir):
         ],
         ANNOTATION_SCHEMA,
     )
+    # roundtrip through the TSV sink+scan for real, then pin the rows
+    # eagerly so the scratch dir can be removed before returning (the
+    # lazy scan would otherwise hold a reference and repeated
+    # bench/correctness runs would accumulate fixture directories)
     tmp = tempfile.mkdtemp(prefix="q69_tsv_")
-    write_annotation_tsv(system, f"{tmp}/system")
-    system_rt = read_annotation_tsv(spark, f"{tmp}/system")
+    try:
+        write_annotation_tsv(system, f"{tmp}/system")
+        rt_rows = read_annotation_tsv(spark, f"{tmp}/system").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    system_rt = spark.createDataFrame(rt_rows, ANNOTATION_SCHEMA)
     out = select_alternatives(gold, system_rt)
     return out.select(
         "docid", "start", "end",

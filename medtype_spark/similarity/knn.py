@@ -40,7 +40,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 
 from medtype_spark.functions.scoring import md5_bucket
-from medtype_spark.operators.pairs import cosine_sim
+from medtype_spark.operators.pairs import cosine_sim, dot as dot_sim
 
 
 def brute_force_topk(
@@ -291,14 +291,6 @@ def md5_centroids(dim: int, n_centroids: int, seed: int = 7) -> "np.ndarray":
             for c in range(n_centroids)
         ],
         dtype=np.float64,
-    )
-
-
-def dot_sim(a, b):
-    """JVM-side inner product (sequential fold — exact on
-    integer-valued doubles)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 

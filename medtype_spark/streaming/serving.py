@@ -127,3 +127,90 @@ def streaming_reassembly_query(partial_stream: DataFrame, sink_fn,
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+# --- deterministic watermark fixture (driver row for the A12 stream) ---
+
+# Four micro-batches with fixed event times.  Batch 1 advances event
+# time far past window 0's end; batch 2 is a spacer (the watermark
+# computed from batch N becomes OPERATIVE in batch N+2 — it is
+# committed at the end of N+1); batch 3 carries one late row below the
+# then-operative watermark (08:30), which must be dropped.
+WINDOW_FIXTURE_BATCHES = [
+    [(1, "2024-01-01T00:01:00", 10.0),
+     (1, "2024-01-01T00:04:00", 20.0),
+     (2, "2024-01-01T00:12:00", 5.0)],
+    [(9, "2024-01-01T09:00:00", 1.0)],
+    [(9, "2024-01-01T09:01:00", 1.0)],
+    [(1, "2024-01-01T00:02:00", 999.0)],  # late → dropped at wm 08:30
+]
+
+
+def windowed_stats_fixture_run(spark, window: str = "10 minutes",
+                               watermark: str = "30 minutes") -> DataFrame:
+    """Run ``windowed_request_stats`` on a REAL micro-batch stream over
+    the deterministic fixture above (file source, one file per
+    trigger, availableNow) and return the append-mode-finalized windows
+    as an eager local DataFrame.
+
+    Deterministic by construction: fixed event times, file order pinned
+    via mtime (FileStreamSource orders by modification time), append
+    mode emits exactly the windows whose end falls at or below the
+    final watermark (08:31) — the two early windows — and the late row
+    is dropped by the operative-watermark input filter.  All scratch
+    dirs (source + checkpoint) and the memory-sink view are removed
+    before returning, so repeated bench/correctness invocations leave
+    nothing behind.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="winstats_fixture_")
+    name = "winstats_fixture_" + uuid.uuid4().hex[:12]
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        paths = []
+        for i, rows in enumerate(WINDOW_FIXTURE_BATCHES):
+            p = os.path.join(src, f"b{i}.json")
+            with open(p, "w") as f:
+                f.write("\n".join(
+                    json.dumps({"user_id": u, "ts": t, "value": v})
+                    for u, t, v in rows))
+            paths.append(p)
+        t0 = os.stat(paths[0]).st_mtime
+        for i, p in enumerate(paths):
+            os.utime(p, (t0 - 600 + i * 60, t0 - 600 + i * 60))
+
+        stream = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        out = windowed_request_stats(stream, window=window,
+                                     watermark=watermark)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [(r["window_start"], r["user_id"], r["n_requests"],
+                 r["avg_msg_size"]) for r in spark.table(name).collect()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    return spark.createDataFrame(
+        rows,
+        "window_start timestamp, user_id long, n_requests long, "
+        "avg_msg_size double",
+    )

@@ -143,3 +143,62 @@ def test_batch_jaro_winkler_known_values():
     assert abs(got[0] - 0.9611111111111111) < 1e-12
     assert abs(got[1] - 0.8133333333333332) < 1e-12
     assert got[2] == 1.0
+
+
+def test_batch_jaro_winkler_adversarial_classes():
+    """Explicit adversarial classes beyond the random corpus: empty /
+    1-char strings, all-same-char runs (pathological transposition
+    paths), lengths > 255 (the matrix is uint32, not uint8 — prove no
+    width overflow), and non-BMP codepoints (the utf-32-le path must
+    be exact on astral-plane chars).  Bit-equality against the scalar
+    reference for every pair, through BOTH the plain and the
+    length-bucketed kernel (a long outlier sharing a batch with short
+    strings must not change any result)."""
+    import numpy as np
+
+    from medtype_spark.operators.pairs import (
+        batch_jaro_winkler,
+        batch_jaro_winkler_bucketed,
+        jaro_winkler,
+    )
+
+    long_a = "x" * 300
+    long_b = "x" * 299 + "y"
+    astral = "\U0001f4a1\U0001f600\U00010000"
+    cases = [
+        "", "a", "b", "aa", "ab",
+        "a" * 7, "a" * 8, "a" * 255, "a" * 256, "a" * 257,
+        long_a, long_b, long_a + long_b,
+        "ab" * 150, "ba" * 150,             # long transposed runs
+        astral, astral * 100, astral[::-1],
+        "\U0001f4a1", "a\U0001f4a1" * 128,
+        "￿", "\U00010000",             # BMP/astral boundary
+    ]
+    pairs = [(a, b) for a in cases for b in cases]
+    av = np.array([p[0] for p in pairs], dtype=object)
+    bv = np.array([p[1] for p in pairs], dtype=object)
+    want = np.array([jaro_winkler(a, b) for a, b in pairs])
+    got_plain = batch_jaro_winkler(av, bv)
+    got_bucketed = batch_jaro_winkler_bucketed(av, bv)
+    bad = np.nonzero(got_plain != want)[0]
+    assert bad.size == 0, [(pairs[i], got_plain[i], want[i]) for i in bad[:5]]
+    bad = np.nonzero(got_bucketed != want)[0]
+    assert bad.size == 0, [(pairs[i], got_bucketed[i], want[i]) for i in bad[:5]]
+
+
+def test_batch_jaro_winkler_bucketed_outlier_isolation():
+    """A single >2048-char outlier routes to the scalar fallback and
+    short rows keep batched results — mixed batch, exact everywhere."""
+    import numpy as np
+
+    from medtype_spark.operators.pairs import (
+        batch_jaro_winkler_bucketed,
+        jaro_winkler,
+    )
+
+    outlier = "q" * 5000
+    av = np.array(["martha", outlier, "", "dixon"], dtype=object)
+    bv = np.array(["marhta", outlier[:-1] + "z", "x", "dicksonx"], dtype=object)
+    got = batch_jaro_winkler_bucketed(av, bv)
+    for i in range(len(av)):
+        assert got[i] == jaro_winkler(av[i], bv[i])
