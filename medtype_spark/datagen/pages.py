@@ -89,24 +89,57 @@ def _rand_u64(seed: int, ids: np.ndarray, stream: int) -> np.ndarray:
     return _splitmix64(ids.astype(np.uint64) ^ _splitmix64(np.full(len(ids), base, dtype=np.uint64)))
 
 
-def entity_name(eid_num: int, n_families: int) -> str:
-    family = eid_num % n_families
+def _zipf_cdf(n: int, s: float) -> np.ndarray:
+    """CDF of a Zipf(s) distribution over ranks 0..n-1."""
+    w = (np.arange(1, n + 1, dtype=np.float64)) ** (-s)
+    return np.cumsum(w) / w.sum()
+
+
+def _zipf_pick(u64: np.ndarray, cdf: np.ndarray) -> np.ndarray:
+    """Map uniform u64 draws onto ranks via the Zipf inverse CDF."""
+    u = (u64 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return np.searchsorted(cdf, u, side="right").clip(0, len(cdf) - 1)
+
+
+def zipf_families(n_entities: int, n_families: int, s: float) -> np.ndarray:
+    """Deterministic Zipf(s)-distributed family id per entity.
+
+    Family 0 collects a heavy head of the entity population, so its
+    block's FORM count exceeds any salting threshold — the skew shape
+    of a real web corpus (Zipf surface-form vocabulary)."""
+    cdf = _zipf_cdf(n_families, s)
+    u = _rand_u64(1234, np.arange(n_entities, dtype=np.uint64), 7)
+    return _zipf_pick(u, cdf)
+
+
+def entity_name(eid_num: int, n_families: int,
+                family: int | None = None) -> str:
+    """Entity display name; the head token is the blocking key.
+    ``family`` overrides the default round-robin assignment (used by
+    the Zipf-skew corpus, see ``zipf_families``)."""
+    if family is None:
+        family = eid_num % n_families
     tail = TAIL_WORDS[eid_num % len(TAIL_WORDS)]
     return f"corp{family} {tail}{eid_num}"
 
 
-def build_lexicon(n_entities: int, n_families: int = 7) -> pd.DataFrame:
+def build_lexicon(n_entities: int, n_families: int = 7,
+                  family_zipf: float | None = None) -> pd.DataFrame:
     """Alias table: (alias, eid, score, type).
 
     Aliases: canonical, UPPER, Title-with-punct, spaced, typo.  All but
     the typo normalize (lower+strip-punct+collapse-ws) to the canonical
     form.  Entity type cycles over the 24 coarse types but is constant
-    inside an entity.
+    inside an entity.  ``family_zipf``: Zipf(s)-skewed family (block)
+    membership instead of round-robin — see ``zipf_families``.
     """
+    fams = (zipf_families(n_entities, n_families, family_zipf)
+            if family_zipf is not None else None)
     rows = []
     for i in range(n_entities):
         eid = f"E{i:05d}"
-        name = entity_name(i, n_families)
+        name = entity_name(i, n_families,
+                           family=int(fams[i]) if fams is not None else None)
         etype = COARSE_TYPES[i % len(COARSE_TYPES)]
         head, tail = name.split(" ", 1)
         variants = [
@@ -132,17 +165,27 @@ def synth_pages(
     n_families: int = 7,
     partitions: int | None = None,
     gap_words: int = 1,
+    mention_zipf: float | None = None,
+    family_zipf: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (pages, gold_mentions).
 
     gold_mentions: (url, start_offset, end_offset, mention, entity_id).
+
+    ``mention_zipf``: when set, each mention's alias is drawn
+    Zipf(s)-distributed over the alias vocabulary (heavy head) instead
+    of uniformly — the real shape of a web-scale surface-form stream.
+    ``family_zipf``: Zipf-skewed blocking-family sizes (see
+    ``build_lexicon``); both corpora stay seed-stable and
+    partitioning-invariant.
     """
-    lex = build_lexicon(n_entities, n_families)
+    lex = build_lexicon(n_entities, n_families, family_zipf=family_zipf)
     aliases = lex["alias"].to_numpy()
     alias_eid = lex["eid"].to_numpy()
     hot_alias_idx = 0  # canonical alias of entity 0 is the hot surface form
 
     n_alias = len(aliases)
+    alias_cdf = _zipf_cdf(n_alias, mention_zipf) if mention_zipf is not None else None
 
     def gen(batches):
         for pdf in batches:
@@ -172,12 +215,14 @@ def synth_pages(
 
                 men_r = _rand_u64(seed, np.arange(pid * 131, pid * 131 + nm), 5)
                 gap_r = _rand_u64(seed, np.arange(pid * 53, pid * 53 + nm + 1), 6)
+                men_ai = (_zipf_pick(men_r, alias_cdf)
+                          if alias_cdf is not None else men_r % n_alias)
                 for j in range(nm):
                     add_filler((2 + int(gap_r[j]) % 4) * gap_words)
                     if j == 0 and bool(r_hot[k]):
                         ai = hot_alias_idx
                     else:
-                        ai = int(men_r[j]) % n_alias
+                        ai = int(men_ai[j])
                     alias = aliases[ai]
                     start = pos
                     end = pos + len(alias)
@@ -207,13 +252,16 @@ def synth_pages(
     return pages, gold
 
 
-def lexicon_df(spark: SparkSession, n_entities: int, n_families: int = 7) -> DataFrame:
+def lexicon_df(spark: SparkSession, n_entities: int, n_families: int = 7,
+               family_zipf: float | None = None) -> DataFrame:
     """Alias dimension as a Spark DataFrame (broadcast-sized)."""
-    return spark.createDataFrame(build_lexicon(n_entities, n_families))
+    return spark.createDataFrame(
+        build_lexicon(n_entities, n_families, family_zipf=family_zipf))
 
 
-def entity_types_df(spark: SparkSession, n_entities: int, n_families: int = 7) -> DataFrame:
-    lex = build_lexicon(n_entities, n_families)
+def entity_types_df(spark: SparkSession, n_entities: int, n_families: int = 7,
+                    family_zipf: float | None = None) -> DataFrame:
+    lex = build_lexicon(n_entities, n_families, family_zipf=family_zipf)
     et = lex[["eid", "type"]].drop_duplicates()
     pdf = et.groupby("eid")["type"].apply(lambda s: sorted(set(s))).reset_index()
     pdf.columns = ["eid", "types"]

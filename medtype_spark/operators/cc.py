@@ -105,6 +105,7 @@ def connected_components(
     max_iter: int = 50,
     check_every: int = 2,
     small_graph_threshold: int | None = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each node with the minimum node id of its component.
 
@@ -123,6 +124,10 @@ def connected_components(
         that overhead IS the runtime.  Labels are identical on both
         paths (min node id per component — parity-tested); pass None
         to force the distributed algorithm.
+    stats : optional dict, filled in place with execution evidence:
+        ``path`` ("empty" | "small" | "distributed"), ``n_edges``
+        (small path: exact count from the complete probe), ``rounds``
+        (distributed path: alternating-star rounds executed).
 
     Returns DataFrame(node, component).
     """
@@ -150,6 +155,9 @@ def connected_components(
         # ≤ t rows proves the edge set is complete (≤ t edges total),
         # so the separate count() job disappears from the common path
         probe = e.limit(small_graph_threshold + 1).select("u", "v").toPandas()
+        if stats is not None and len(probe) <= small_graph_threshold:
+            stats["path"] = "empty" if len(probe) == 0 else "small"
+            stats["n_edges"] = len(probe)
         if len(probe) == 0:
             if vertices is None:
                 return spark.createDataFrame([], T.StructType([
@@ -173,6 +181,9 @@ def connected_components(
             )
             return labels.unionByName(iso)
     elif e.isEmpty():
+        if stats is not None:
+            stats["path"] = "empty"
+            stats["n_edges"] = 0
         if vertices is None:
             return spark.createDataFrame([], T.StructType([
                 T.StructField("node", e.schema["u"].dataType),
@@ -202,6 +213,8 @@ def connected_components(
     # lineage that the iteration already paid for
     all_nodes = all_nodes.localCheckpoint(eager=False)
 
+    if stats is not None:
+        stats["path"] = "distributed"
     prev_fp = None
     rounds = 0
     while rounds < max_iter:
@@ -211,6 +224,8 @@ def connected_components(
             e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             rounds += 1
         fp = _fingerprint(e)
+        if stats is not None:
+            stats["rounds"] = rounds
         if fp == prev_fp:
             break
         prev_fp = fp

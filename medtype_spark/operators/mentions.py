@@ -141,12 +141,51 @@ def normalize_form_py(s: str) -> str:
     return _WS_RE.sub(" ", out).strip()
 
 
+def iter_set_matches(text: str, alias_map, max_n: int):
+    """Token-aligned gazetteer scan: yield (start, end, surface) for
+    non-overlapping, longest-match-first, left-to-right alias hits —
+    ``finditer`` semantics of the trie regex, restricted to matches
+    aligned on single-space token boundaries.
+
+    Why it exists: the trie regex costs O(|lexicon|) automaton BUILD
+    per fresh worker process (~8 s at 10^5 aliases — measured), which
+    the sandbox pays per task and a 1000-executor cluster pays per
+    executor churn.  A broadcast hash-set costs O(1) setup beyond
+    deserialization and O(tokens × max_alias_tokens) per document, so
+    it is the shape that survives a 10^6+-alias lexicon.  Contract:
+    text is space-delimited (clean_text maps \\n | ' to spaces), and
+    aliases must start/end on token boundaries — mid-token matches
+    after internal punctuation (e.g. "foo-corp x" matching alias
+    "corp x") are NOT found; the trie matcher remains the general
+    path.  Parity on boundary-aligned corpora is differential-tested
+    in tests/test_mention_scan.py.
+    """
+    toks = text.split(" ")
+    nt = len(toks)
+    offs = []
+    pos = 0
+    for t in toks:
+        offs.append(pos)
+        pos += len(t) + 1
+    i = 0
+    while i < nt:
+        if toks[i]:
+            for n in range(min(max_n, nt - i), 0, -1):
+                cand = " ".join(toks[i:i + n])
+                if cand in alias_map:
+                    yield offs[i], offs[i + n - 1] + len(toks[i + n - 1]), cand
+                    i += n - 1
+                    break
+        i += 1
+
+
 def fused_mention_scan(
     pages: DataFrame,
     lexicon: pd.DataFrame,
     alias2types: dict[str, list[str]] | None,
     url_col: str = "url",
     html_col: str = "html",
+    matcher: str = "trie",
 ) -> DataFrame:
     """One-hop scan: html → extracted text → mentions + candidates +
     normalized/blocking keys + predicted types, in a SINGLE
@@ -175,7 +214,17 @@ def fused_mention_scan(
             alias_map.setdefault(alias, []).append((eid, float(score)))
         for cands in alias_map.values():
             cands.sort(key=lambda c: (-c[1], c[0]))
-        pattern = build_alias_pattern(alias_map)
+        if matcher == "set":
+            max_n = max((len(a.split(" ")) for a in alias_map), default=1)
+
+            def find_spans(text):
+                return iter_set_matches(text, alias_map, max_n)
+        else:
+            pattern = build_alias_pattern(alias_map)
+
+            def find_spans(text):
+                for m in pattern.finditer(text):
+                    yield m.start(1), m.end(1), m.group(1)
         extract_re = EXTRACT_RE
         norm_cache: dict[str, tuple[str, str, list[str]]] = {}
 
@@ -208,8 +257,7 @@ def fused_mention_scan(
                 decoded = bytes(html).decode("utf-8", "replace")
                 m0 = extract_re.search(decoded)
                 text = m0.group(1) if m0 else ""
-                for m in pattern.finditer(text):
-                    surface = m.group(1)
+                for start, end, surface in find_spans(text):
                     cached = norm_cache.get(surface)
                     if cached is None:
                         norm = normalize_form_py(surface)
@@ -223,8 +271,8 @@ def fused_mention_scan(
                         for e, s in alias_map[surface]
                     ]
                     out.append((
-                        url, m.start(1), m.end(1), surface, cands,
-                        f"{url}#{m.start(1)}", norm, head, ptypes,
+                        url, start, end, surface, cands,
+                        f"{url}#{start}", norm, head, ptypes,
                     ))
             yield pd.DataFrame(
                 out,

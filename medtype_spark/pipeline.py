@@ -104,6 +104,9 @@ def run_linkage(
     with_candidate_filter: bool = False,
     alias_embeddings: DataFrame | None = None,
     jw_weight: float = 0.5,
+    cc_small_graph_threshold: int | None = 1_000_000,
+    cc_stats: dict | None = None,
+    matcher: str = "trie",
 ) -> dict[str, DataFrame]:
     """Run the flagship pipeline; returns the per-stage DataFrames.
 
@@ -133,6 +136,13 @@ def run_linkage(
     (the north star's "Jaro-Winkler + alias-embedding pairwise scores
     within salted blocks"); forms without an embedding fall back to
     pure JW.  ``jw_weight`` sets the blend.
+
+    ``matcher``: "trie" (regex automaton, the general path) or "set"
+    (broadcast hash-set gazetteer, token-boundary contract — the shape
+    for 10^5+-alias lexicons where the automaton compile per fresh
+    worker dominates; see operators/mentions.py:iter_set_matches).
+    ``cc_small_graph_threshold`` / ``cc_stats`` pass through to
+    connected_components (stats records which CC path executed).
     """
     spark = pages.sparkSession
 
@@ -155,7 +165,8 @@ def run_linkage(
 
         extracted = pages
         mentions = fused_mention_scan(
-            pages, lexicon, a2t_sorted if type_scorer == "dict" else None
+            pages, lexicon, a2t_sorted if type_scorer == "dict" else None,
+            matcher=matcher,
         )
     else:
         extracted = extract_pages(pages)
@@ -284,6 +295,8 @@ def run_linkage(
         form_clusters = connected_components(
             form_edges,
             vertices=units.select(F.col("norm_form").alias("node")),
+            small_graph_threshold=cc_small_graph_threshold,
+            stats=cc_stats,
         )
         clusters = (
             mentions.select("mention_key", "norm_form")
@@ -302,6 +315,8 @@ def run_linkage(
         clusters = connected_components(
             edges,
             vertices=mentions.select(F.col("mention_key").alias("node")),
+            small_graph_threshold=cc_small_graph_threshold,
+            stats=cc_stats,
         ).select(F.col("node").alias("mention_key"), F.col("component").alias("entity_cluster"))
 
     if cleanup:

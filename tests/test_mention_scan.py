@@ -82,3 +82,56 @@ def test_scales_to_large_lexicon():
     assert any(m[2] == big[7] for m in got)
     # 333x the lexicon for at most ~2x the scan time
     assert t_big < 2.0 * t_small + 0.05, (t_small, t_big)
+
+
+def test_set_matcher_parity_on_token_aligned_text():
+    """iter_set_matches must agree with the trie regex span-for-span on
+    space-token-aligned text (the contract: aliases start/end on token
+    boundaries — the shape clean_text-normalized corpora have)."""
+    import random as _random
+
+    from medtype_spark.operators.mentions import iter_set_matches
+
+    aliases = ["corp a", "corp a tail", "corp", "corp  dbl", "b", "zz top"]
+    alias_map = {a: None for a in aliases}
+    max_n = max(len(a.split(" ")) for a in aliases)
+    pat = build_alias_pattern(aliases)
+
+    fillers = ["lorem", "ipsum", "dolor", "xcorp", "corpx", "amet"]
+    rng = _random.Random(5)
+    texts = [
+        "see corp a tail end", "see corp a end", "see corp end",
+        "corp  dbl here", "b", "", "zz top zz corp a", "corp corp corp",
+    ]
+    for _ in range(400):
+        n = rng.randint(0, 10)
+        words = [rng.choice(fillers + aliases) for _ in range(n)]
+        texts.append(" ".join(words))
+    for text in texts:
+        want = _matches(pat, text)
+        got = list(iter_set_matches(text, alias_map, max_n))
+        assert got == want, (text, got, want)
+
+
+def test_set_matcher_parity_through_fused_scan(spark):
+    """Full-pipeline parity: fused_mention_scan(matcher='set') produces
+    the identical mention table to the trie matcher on a synthetic
+    corpus (same rows, offsets, candidates, keys)."""
+    from medtype_spark.datagen.pages import build_lexicon, synth_pages
+    from medtype_spark.operators.mentions import fused_mention_scan
+
+    pages, _ = synth_pages(spark, 300, n_entities=40, seed=11,
+                           mentions_per_page=5)
+    lex = build_lexicon(40)
+    a2t = {}
+    trie_rows = sorted(
+        fused_mention_scan(pages, lex, a2t, matcher="trie").collect(),
+        key=lambda r: (r["url"], r["start_offset"]),
+    )
+    set_rows = sorted(
+        fused_mention_scan(pages, lex, a2t, matcher="set").collect(),
+        key=lambda r: (r["url"], r["start_offset"]),
+    )
+    assert len(trie_rows) == len(set_rows) > 0
+    for a, b in zip(trie_rows, set_rows):
+        assert a == b

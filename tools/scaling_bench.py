@@ -127,6 +127,17 @@ def main():
         srt = sorted(pairs)
         mid = len(srt) // 2
         speedup = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+
+        def _median(xs):
+            s = sorted(xs)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+        # block estimate from the SAME runs: per-level medians.  Both
+        # estimators are reported so a straddle (one passes, one
+        # misses) is visible in a single artifact instead of spread
+        # across cherry-pickable files.
+        blk_speedup = _median(lo_runs) / _median(hi_runs)
         report = {
             "n_pages": n_pages,
             "estimator": (f"median_of_{repeats}_paired_speedups"
@@ -137,6 +148,10 @@ def main():
             "pair_speedups": pairs,
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(speedup / (hi / lo), 3),
+            "block_low_median_sec": round(_median(lo_runs), 2),
+            "block_high_median_sec": round(_median(hi_runs), 2),
+            "block_speedup": round(blk_speedup, 3),
+            "block_scaling_efficiency": round(blk_speedup / (hi / lo), 3),
             "target": 0.8,
             "throughput_low_docs_per_sec": round(n_pages / (sum(lo_runs) / len(lo_runs)), 1),
             "throughput_high_docs_per_sec": round(n_pages / (sum(hi_runs) / len(hi_runs)), 1),
