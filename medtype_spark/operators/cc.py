@@ -63,7 +63,13 @@ def _driver_union_find_pdf(pdf, e: DataFrame) -> DataFrame:
         T.StructField("node", e.schema["u"].dataType),
         T.StructField("component", e.schema["u"].dataType),
     ])
-    return spark.createDataFrame(rows, schema)
+    # explicit slice count: createDataFrame(list) would parallelize
+    # over defaultParallelism (32) near-empty python tasks, and this
+    # frame sits in the returned lineage (union + broadcast probe), so
+    # every downstream action would pay ~2x32 worker forks for a few
+    # thousand rows.  One slice per 500k labels keeps it to 1-2 tasks.
+    rdd = spark.sparkContext.parallelize(rows, 1 + len(rows) // 500_000)
+    return spark.createDataFrame(rdd, schema)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
