@@ -215,8 +215,12 @@ WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
 """
 
 def _textstats_sql() -> str:
-    """q17_textstats: quality features + lang-id + fingerprint joined
-    on doc_id (all three component selects hoisted to one WITH)."""
+    """q17_textstats: quality features + lang-id + fingerprint +
+    Gopher-rule verdict joined on doc_id (component selects hoisted
+    to one WITH)."""
+    req_words = "[" + ", ".join(
+        f"'{w}'" for w in ["the", "be", "to", "of", "and", "that", "have", "with"]
+    ) + "]"
     hit_cols = []
     for lang in sorted(LANG_MARKERS):
         markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
@@ -261,9 +265,55 @@ f AS (
                regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
              '\\s+', ' ', 'g'))) AS fingerprint
   FROM documents
+),
+graw AS (
+  SELECT doc_id,
+         len(toks) AS nt,
+         list_sum(list_transform(toks, t -> length(t))) AS wc,
+         len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS nsym,
+         string_split(text, chr(10)) AS lines,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS nalpha,
+         len(list_filter({req_words}::VARCHAR[],
+                         w -> list_contains(list_transform(toks, t -> lower(t)), w))) AS nreq
+  FROM base
+),
+g2 AS (
+  SELECT doc_id, nt, COALESCE(wc, 0) AS wc, nsym, nalpha, nreq,
+         len(lines) AS nl,
+         len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•‣▪\\-\\*]'))) AS nbul,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS nell,
+         len(lines) - len(list_distinct(lines)) AS ndup,
+         COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) AS lchars,
+         COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+           - COALESCE(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS dchars
+  FROM graw
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN nt = 0 THEN 0.0 ELSE round(wc::DOUBLE / nt, 6) END AS mean_word_len,
+         CASE WHEN nt = 0 THEN 0.0 ELSE round(nsym::DOUBLE / nt, 6) END AS symbol_word_ratio,
+         round(nbul::DOUBLE / nl, 6) AS bullet_line_ratio,
+         round(nell::DOUBLE / nl, 6) AS ellipsis_line_ratio,
+         CASE WHEN nt = 0 THEN 0.0 ELSE round(nalpha::DOUBLE / nt, 6) END AS alpha_word_ratio,
+         nreq::INT AS n_req_stopwords,
+         round(ndup::DOUBLE / nl, 6) AS dup_line_ratio,
+         CASE WHEN lchars = 0 THEN 0.0 ELSE round(dchars::DOUBLE / lchars, 6) END AS dup_line_char_ratio,
+         (nt >= 50 AND nt <= 100000
+          AND wc >= 3 * nt AND wc <= 10 * nt
+          AND 10 * nsym <= nt
+          AND 10 * nbul <= 9 * nl
+          AND 10 * nell <= 3 * nl
+          AND 10 * nalpha >= 8 * nt
+          AND nreq >= 2
+          AND 10 * ndup <= 3 * nl
+          AND (lchars = 0 OR 5 * dchars <= lchars))::INT AS gopher_pass
+  FROM g2
 )
-SELECT q.*, l.pred_lang, f.fingerprint
-FROM q JOIN l USING (doc_id) JOIN f USING (doc_id)
+SELECT q.*, l.pred_lang, f.fingerprint,
+       g.mean_word_len, g.symbol_word_ratio, g.bullet_line_ratio,
+       g.ellipsis_line_ratio, g.alpha_word_ratio, g.n_req_stopwords,
+       g.dup_line_ratio, g.dup_line_char_ratio, g.gopher_pass
+FROM q JOIN l USING (doc_id) JOIN f USING (doc_id) JOIN g USING (doc_id)
 """
 
 

@@ -67,6 +67,100 @@ def quality_features(
     )
 
 
+# The 8 "required stop words" of the published Gopher quality filter
+# (Rae et al. 2021, "Scaling Language Models", Appendix A): a document
+# must contain at least 2 of them to pass.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Symbols counted by Gopher's symbol-to-word rule; bullet prefixes and
+# ellipsis suffixes for the line-shape rules.
+_SYMBOL_RE = r"#|…|\.\.\."
+_BULLET_RE = r"^[•‣▪\-\*]"
+_ELLIPSIS_END_RE = r"(\.\.\.|…)$"
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021, Appendix A) as
+    pure-JVM columns, plus the composite ``gopher_pass`` verdict.
+
+    Every threshold decision is made on INTEGER cross-multiplication
+    (e.g. ``10*n_symbols <= n_tokens`` instead of ``ratio <= 0.1``) so
+    the verdict is bit-portable across engines; the ratio columns are
+    informational, rounded to 6dp.
+
+    Rules: 50 <= words <= 100k; mean word length in [3, 10]; symbol
+    ('#'/ellipsis)-to-word ratio <= 0.1; <= 90% of lines bullet-led;
+    <= 30% of lines ellipsis-ended; >= 80% of words contain an
+    alphabetic char; >= 2 of the 8 required stop words present; plus
+    the repetition rules: duplicate-line fraction (occurrences beyond
+    the first / total lines) <= 0.30 and duplicate-line CHAR fraction
+    (chars in those repeat occurrences / total line chars) <= 0.20.
+    The repetition signals are computed entirely with array
+    higher-order functions (``array_distinct`` + ``aggregate``) — no
+    explode, no shuffle; per-doc work is bounded by line count.
+    """
+    toks = tokens(F.col(text_col))
+    toks_lower = F.transform(toks, lambda t: F.lower(t))
+    n_toks = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(_SYMBOL_RE))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)  # >= 1: splitting '' yields ['']
+    n_bullet = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(_BULLET_RE)))
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(_ELLIPSIS_END_RE)))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    req_arr = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_req = F.size(F.filter(req_arr, lambda w: F.array_contains(toks_lower, w)))
+    distinct_lines = F.array_distinct(lines)
+    n_distinct = F.size(distinct_lines)
+    line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    distinct_chars = F.aggregate(
+        F.transform(distinct_lines, lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    n_dup_lines = n_lines - n_distinct
+    dup_chars = line_chars - distinct_chars
+    gopher_pass = (
+        (n_toks >= 50) & (n_toks <= 100_000)
+        & (word_chars >= 3 * n_toks) & (word_chars <= 10 * n_toks)
+        & (10 * n_symbols <= n_toks)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ellipsis <= 3 * n_lines)
+        & (10 * n_alpha_words >= 8 * n_toks)
+        & (n_req >= 2)
+        & (10 * n_dup_lines <= 3 * n_lines)
+        & ((line_chars == 0) | (5 * dup_chars <= line_chars))
+    )
+    zero = F.lit(0.0)
+    return df.select(
+        F.col(id_col),
+        F.when(n_toks == 0, zero).otherwise(
+            F.round(word_chars / n_toks, 6)
+        ).alias("mean_word_len"),
+        F.when(n_toks == 0, zero).otherwise(
+            F.round(n_symbols / n_toks, 6)
+        ).alias("symbol_word_ratio"),
+        F.round(n_bullet / n_lines, 6).alias("bullet_line_ratio"),
+        F.round(n_ellipsis / n_lines, 6).alias("ellipsis_line_ratio"),
+        F.when(n_toks == 0, zero).otherwise(
+            F.round(n_alpha_words / n_toks, 6)
+        ).alias("alpha_word_ratio"),
+        n_req.alias("n_req_stopwords"),
+        F.round(n_dup_lines / n_lines, 6).alias("dup_line_ratio"),
+        F.when(line_chars == 0, zero).otherwise(
+            F.round(dup_chars / line_chars, 6)
+        ).alias("dup_line_char_ratio"),
+        # int flag, not boolean: keeps the cross-engine strict compare
+        # on integer reprs (engines disagree on bool dtype round-trips)
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
+
+
 def predict_lang(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker hits.
 
