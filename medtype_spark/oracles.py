@@ -308,12 +308,72 @@ g AS (
           AND 10 * ndup <= 3 * nl
           AND (lchars = 0 OR 5 * dchars <= lchars))::INT AS gopher_pass
   FROM g2
+),
+rtoks AS (
+  SELECT doc_id,
+         list_transform(toks, t -> lower(t)) AS lt,
+         COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS wc
+  FROM base
+),
+rgrams AS (
+  SELECT doc_id, n, unnest(grams) AS gram FROM (
+    SELECT doc_id, ns.n,
+           CASE WHEN len(lt) >= ns.n
+             THEN list_transform(range(1, len(lt) - ns.n + 2),
+                                 i -> array_to_string(lt[i : i + ns.n - 1], ' '))
+             ELSE []::VARCHAR[] END AS grams
+    FROM rtoks, (VALUES (2), (3), (4), (5), (10)) AS ns(n)
+  )
+),
+rcnt AS (
+  SELECT doc_id, n, gram, count(*) AS cnt,
+         count(*) * (length(gram) - (n - 1)) AS mass
+  FROM rgrams GROUP BY doc_id, n, gram
+),
+rtopd AS (
+  SELECT doc_id, n, mass,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn
+  FROM rcnt
+),
+rper AS (
+  SELECT c.doc_id, c.n,
+         max(t.mass) AS top_mass,
+         sum(CASE WHEN c.cnt > 1 THEN c.mass ELSE 0 END) AS dup_mass
+  FROM rcnt c JOIN rtopd t ON c.doc_id = t.doc_id AND c.n = t.n AND t.rn = 1
+  GROUP BY c.doc_id, c.n
+),
+rwide AS (
+  SELECT doc_id,
+         COALESCE(max(CASE WHEN n = 2 THEN top_mass END), 0) AS t2,
+         COALESCE(max(CASE WHEN n = 3 THEN top_mass END), 0) AS t3,
+         COALESCE(max(CASE WHEN n = 4 THEN top_mass END), 0) AS t4,
+         COALESCE(max(CASE WHEN n = 5 THEN dup_mass END), 0) AS d5,
+         COALESCE(max(CASE WHEN n = 10 THEN dup_mass END), 0) AS d10
+  FROM rper GROUP BY doc_id
+),
+r AS (
+  SELECT rt.doc_id,
+         CASE WHEN wc = 0 THEN 0.0 ELSE round(COALESCE(t2, 0)::DOUBLE / wc, 6) END AS top_2gram_char_ratio,
+         CASE WHEN wc = 0 THEN 0.0 ELSE round(COALESCE(t3, 0)::DOUBLE / wc, 6) END AS top_3gram_char_ratio,
+         CASE WHEN wc = 0 THEN 0.0 ELSE round(COALESCE(t4, 0)::DOUBLE / wc, 6) END AS top_4gram_char_ratio,
+         CASE WHEN wc = 0 THEN 0.0 ELSE round(COALESCE(d5, 0)::DOUBLE / wc, 6) END AS dup_5gram_char_ratio,
+         CASE WHEN wc = 0 THEN 0.0 ELSE round(COALESCE(d10, 0)::DOUBLE / wc, 6) END AS dup_10gram_char_ratio,
+         (5 * COALESCE(t2, 0) <= 1 * wc
+          AND 50 * COALESCE(t3, 0) <= 9 * wc
+          AND 25 * COALESCE(t4, 0) <= 4 * wc
+          AND 20 * COALESCE(d5, 0) <= 3 * wc
+          AND 10 * COALESCE(d10, 0) <= 1 * wc)::INT AS gopher_rep_pass
+  FROM rtoks rt LEFT JOIN rwide USING (doc_id)
 )
 SELECT q.*, l.pred_lang, f.fingerprint,
        g.mean_word_len, g.symbol_word_ratio, g.bullet_line_ratio,
        g.ellipsis_line_ratio, g.alpha_word_ratio, g.n_req_stopwords,
-       g.dup_line_ratio, g.dup_line_char_ratio, g.gopher_pass
+       g.dup_line_ratio, g.dup_line_char_ratio, g.gopher_pass,
+       r.top_2gram_char_ratio, r.top_3gram_char_ratio,
+       r.top_4gram_char_ratio, r.dup_5gram_char_ratio,
+       r.dup_10gram_char_ratio, r.gopher_rep_pass
 FROM q JOIN l USING (doc_id) JOIN f USING (doc_id) JOIN g USING (doc_id)
+     JOIN r USING (doc_id)
 """
 
 

@@ -277,10 +277,15 @@ def q16_ngram_jaccard(spark, sf_dir):
 def q17_textstats(spark, sf_dir):
     """Text-analysis suite in one frame: quality features + n-gram
     language ID + rolling fingerprint + Gopher-rule quality verdict
-    (Rae et al. 2021 App. A; integer-exact threshold decisions),
-    joined per doc (each operator runs as its own plan; the join key
-    is the doc grain)."""
-    from medtype_spark.textstats.quality import fingerprint, gopher_quality
+    (Rae et al. 2021 App. A; integer-exact threshold decisions) +
+    Gopher n-gram repetition verdict (Table A1 n-gram half, one
+    explode + one combiner-friendly groupBy), joined per doc (each
+    operator runs as its own plan; the join key is the doc grain)."""
+    from medtype_spark.textstats.quality import (
+        fingerprint,
+        gopher_quality,
+        gopher_repetition,
+    )
 
     d = _t(spark, sf_dir, "documents")
     q = quality_features(d, "text", "doc_id").select(
@@ -293,7 +298,13 @@ def q17_textstats(spark, sf_dir):
     lang = predict_lang(d, "text", "doc_id")
     fp = fingerprint(d, "text", "doc_id")
     gq = gopher_quality(d, "text", "doc_id")
-    return q.join(lang, "doc_id").join(fp, "doc_id").join(gq, "doc_id")
+    rep = gopher_repetition(d, "text", "doc_id")
+    return (
+        q.join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .join(gq, "doc_id")
+        .join(rep, "doc_id")
+    )
 
 
 

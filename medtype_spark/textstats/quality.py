@@ -161,6 +161,117 @@ def gopher_quality(
     )
 
 
+# Gopher repetition rules (Rae et al. 2021, Table A1, n-gram half):
+# (n, kind, threshold as an exact rational).  "top" = fraction of word
+# characters inside occurrences of the single most frequent n-gram;
+# "dup" = fraction inside ALL occurrences of n-grams that appear more
+# than once (a documented simplification shared by public
+# reimplementations: overlapping occurrences are not de-duplicated).
+GOPHER_NGRAM_RULES = [
+    (2, "top", (1, 5)),    # <= 0.20
+    (3, "top", (9, 50)),   # <= 0.18
+    (4, "top", (4, 25)),   # <= 0.16
+    (5, "dup", (3, 20)),   # <= 0.15
+    (10, "dup", (1, 10)),  # <= 0.10
+]
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher n-gram repetition signals as ONE explode + ONE groupBy.
+
+    For every rule in :data:`GOPHER_NGRAM_RULES` the doc's lowercased
+    whitespace tokens are joined into word n-grams; the frame explodes
+    all (n, gram) pairs at once, counts them in a single hash
+    aggregation (map-side partial combine — the shuffle carries one row
+    per DISTINCT (doc, n, gram), not per occurrence), and reduces each
+    (doc, n) group to its top-gram and duplicated-gram character mass.
+    Character mass of one occurrence = length of the gram minus its
+    n-1 separator spaces (i.e. the sum of its token lengths); the
+    denominator is the doc's total word characters.  Ties for "most
+    frequent" break to the lexicographically smallest gram so the
+    result is engine-portable.  The composite ``gopher_rep_pass``
+    verdict compares integer cross-products only (e.g. ``50*chars <=
+    9*wc`` for the 0.18 bound) — bit-portable, no float thresholds.
+    Docs with fewer than n tokens contribute no n-grams and pass that
+    rule trivially, matching the published filter.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("_wc"),
+    )
+    # NB: the HOF lambdas below must stay single-parameter — pyspark
+    # binds a second lambda parameter to the ELEMENT INDEX (so an
+    # `n=n` default would be silently overwritten); the gram size is
+    # captured through the factory closures instead.
+    def _gram_at(n):
+        return lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))
+
+    def _tag_n(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_arrays = []
+    for n, _kind, _thr in GOPHER_NGRAM_RULES:
+        # sequence(1, sz-n+1) is DESCENDING when sz < n (Spark yields
+        # [1, 0], not []), so short docs must short-circuit to an
+        # empty array explicitly.
+        grams = F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                _gram_at(n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        gram_arrays.append(F.transform(grams, _tag_n(n)))
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(F.concat(*gram_arrays)).alias("_ng"),
+    ).select(id_col, F.col("_ng.n").alias("n"), F.col("_ng.gram").alias("gram"))
+    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    # char mass of all occurrences of this gram (spaces excluded)
+    mass = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
+    # most-frequent gram via min_by on (-cnt, gram): ties break to the
+    # lexicographically smallest gram; the ordering struct is unique
+    # per group (gram is a group key downstream), so deterministic
+    top_ord = F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("gram"))
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.min_by(mass, top_ord).alias("top_mass"),
+        F.sum(F.when(F.col("cnt") > 1, mass).otherwise(F.lit(0))).alias("dup_mass"),
+    )
+    agg_cols = []
+    for n, kind, _thr in GOPHER_NGRAM_RULES:
+        src = "top_mass" if kind == "top" else "dup_mass"
+        agg_cols.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col(src))), F.lit(0)
+            ).alias(f"_{kind}{n}")
+        )
+    wide = per_n.groupBy(id_col).agg(*agg_cols)
+    # left join: docs too short for ANY rule still get a row (all 0)
+    out = base.select(id_col, "_wc").join(wide, id_col, "left")
+    zero = F.lit(0.0)
+    ratio_cols, pass_expr = [], F.lit(True)
+    for n, kind, (num, den) in GOPHER_NGRAM_RULES:
+        chars = F.coalesce(F.col(f"_{kind}{n}"), F.lit(0))
+        ratio_cols.append(
+            F.when(F.col("_wc") == 0, zero)
+            .otherwise(F.round(chars / F.col("_wc"), 6))
+            .alias(f"{kind}_{n}gram_char_ratio")
+        )
+        # chars/wc <= num/den  <=>  den*chars <= num*wc  (wc=0 -> pass)
+        pass_expr = pass_expr & (den * chars <= num * F.col("_wc"))
+    return out.select(
+        F.col(id_col),
+        *ratio_cols,
+        pass_expr.cast("int").alias("gopher_rep_pass"),
+    )
+
+
 def predict_lang(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: argmax of per-language marker hits.
 

@@ -80,3 +80,100 @@ def test_gopher_rule_flips(spark):
     assert got[0] == 1
     for i in range(1, len(CASES)):
         assert got[i] == 0, CASES[i][0]
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition rules
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from medtype_spark.textstats.quality import GOPHER_NGRAM_RULES, gopher_repetition
+
+
+def _py_repetition(text: str) -> dict:
+    toks = [t.lower() for t in re.split(r"\s+", text.strip()) if t != ""]
+    wc = sum(len(t) for t in toks)
+    out = {}
+    ok = True
+    for n, kind, (num, den) in GOPHER_NGRAM_RULES:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        cnt = Counter(grams)
+        if kind == "top":
+            if cnt:
+                # max count, ties to lexicographically smallest gram
+                g = min(cnt, key=lambda g: (-cnt[g], g))
+                mass = cnt[g] * (len(g) - (n - 1))
+            else:
+                mass = 0
+        else:
+            mass = sum(c * (len(g) - (n - 1)) for g, c in cnt.items() if c > 1)
+        out[f"{kind}_{n}gram_char_ratio"] = 0.0 if wc == 0 else round(mass / wc, 6)
+        ok = ok and (den * mass <= num * wc)
+    out["gopher_rep_pass"] = int(ok)
+    return out
+
+
+REP_CASES = [
+    ("pass", PASSING),
+    ("top2_loop", "the cat " * 40),
+    ("top3_loop", "one two three " * 30),
+    ("dup5_paste", PASSING + " " + " ".join(PASSING.split()[:12]) * 1),
+    ("dup10_paste", PASSING + " " + " ".join(PASSING.split()[:30]) + " "
+     + " ".join(PASSING.split()[:30])),
+    ("short", "only four small words"),
+    ("empty", ""),
+    ("one_token", "word"),
+    ("all_same", "same " * 60),
+]
+
+
+@pytest.mark.parametrize("name,text", REP_CASES, ids=[c[0] for c in REP_CASES])
+def test_repetition_matches_python_reference(spark, name, text):
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    row = gopher_repetition(df).collect()[0].asDict()
+    exp = _py_repetition(text)
+    for k, v in exp.items():
+        if isinstance(v, float):
+            assert row[k] == pytest.approx(v, abs=1e-9), (name, k)
+        else:
+            assert row[k] == v, (name, k)
+
+
+def test_repetition_verdicts(spark):
+    """Loops and pastes trip the n-gram rules; clean prose and docs
+    too short to FORM an n-gram pass.  (A 4-token doc fails top-4gram
+    — its single 4-gram is the whole doc — matching the published
+    filter, which runs the >=50-word rule alongside.)"""
+    rows = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(REP_CASES)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["gopher_rep_pass"] for r in gopher_repetition(rows).collect()}
+    names = [c[0] for c in REP_CASES]
+    expect_fail = {"top2_loop", "top3_loop", "dup5_paste", "dup10_paste",
+                   "short", "all_same"}
+    for i, name in enumerate(names):
+        assert got[i] == (0 if name in expect_fail else 1), name
+
+
+def test_repetition_random_corpus_differential(spark):
+    """30 seeded random docs over a tiny vocabulary (forcing heavy
+    n-gram collisions) match the python reference on every column."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "the", "cat", "sat"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+    for i, t in docs:
+        exp = _py_repetition(t)
+        for k, v in exp.items():
+            got = rows[i][k]
+            if isinstance(v, float):
+                assert got == pytest.approx(v, abs=1e-9), (i, k, t)
+            else:
+                assert got == v, (i, k, t)
