@@ -34,13 +34,14 @@ def get_spark(
     pp = os.environ.get("PYTHONPATH", "")
     if pkg_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+    # local thread count (0 = unknown / local[*] / cluster master)
+    try:
+        n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
+    except ValueError:
+        n = 0
     if shuffle_partitions is None:
         # At cluster scale this should be ~2-3x total cores; locally we
         # mirror the core count so small jobs don't fragment.
-        try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
-        except ValueError:
-            n = 0
         shuffle_partitions = max(n or os.cpu_count() or 8, 8)
 
     builder = (
@@ -75,11 +76,19 @@ def get_spark(
         # a 15s accept-wait (twice) per python runner under this
         # sandbox's network stack; the handshake itself is instant.
         .config("spark.python.authenticate.socketTimeout", "2s")
-        # Fresh worker per task: avoids the reused-worker drain wait
-        # when a python-lineage plan feeds a cache/checkpoint writer,
-        # and bounds per-worker memory.  Fork-from-daemon keeps spawn
-        # cheap.
-        .config("spark.python.worker.reuse", "false")
+        # Python worker reuse, keyed on local thread count.  At >=16
+        # threads in this single-JVM sandbox, reused TCP workers hit a
+        # drain wait when a python-lineage plan feeds a cache/
+        # checkpoint writer (measured: headline suite 2x slower at
+        # local[32] with reuse), so fresh-fork-per-task wins there.
+        # At <=8 threads — the shape of a real executor (4-8 cores,
+        # where reuse=true is Spark's default) — reuse removes the
+        # serialized fork-per-task cost: flagship 800k runs ~35%
+        # faster at local[8] and 2->8 scaling efficiency rises
+        # 0.62 -> 0.83.  Env-overridable for A/B.
+        .config("spark.python.worker.reuse",
+                os.environ.get("SPARK_PYTHON_WORKER_REUSE",
+                               "true" if 0 < n <= 8 else "false"))
         # With reuse=false every task pays the pandas/pyarrow import in
         # its fresh worker (~1s under syscall emulation, and the forks
         # contend at high parallelism).  A daemon module that imports

@@ -73,10 +73,34 @@ print(json.dumps({"cpus": cpus, "n_pages": n, "sec": median,
 
 
 def run_level(cpus: int, n_pages: int, n_entities: int, repeats: int) -> dict:
+    env = dict(os.environ)
+    # Python worker REUSE at the measured levels (Spark's cluster
+    # default).  reuse=false is a 32-thread sandbox workaround (see
+    # session.py); at <=8 threads it adds a serialized fork-per-task
+    # cost that caps measurable scaling (800k@2->8: 0.55-0.62 with
+    # fresh workers vs 0.83 with reuse — and reuse is also ~35%
+    # faster in absolute terms there).  Real executors run 4-8 cores
+    # with reuse=true, so this is the cluster-faithful setting for
+    # the scaling criterion.  Overridable for A/B.
+    env.setdefault("SPARK_PYTHON_WORKER_REUSE", "true")
+    # Cluster-faithful MEMORY model: a real N -> 4N executor scale-up
+    # multiplies aggregate cluster memory by 4 (each executor brings
+    # its own heap); a single-JVM local[n] sweep with a FIXED heap
+    # instead QUARTERS memory-per-task at the high level — a confound
+    # no real cluster has (measured: 800k@2->8 under a fixed 16g heap
+    # loses ~0.09 efficiency to high-level GC/eviction pressure that
+    # the low level never pays).  So each level gets the same
+    # memory-per-core: heap = cpus * SCALE_MEM_PER_CORE_GB (default
+    # 6g/core -> 12g@local[2], 48g@local[8]; host has 128 GiB).
+    # Set SCALE_MEM_PER_CORE_GB=0 to pin the old fixed-heap behavior
+    # via SPARK_DRIVER_MEM for A/B.
+    per_core = int(os.environ.get("SCALE_MEM_PER_CORE_GB", "6"))
+    if per_core > 0:
+        env["SPARK_DRIVER_MEM"] = f"{cpus * per_core}g"
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cpus), str(n_pages),
          str(n_entities), str(repeats)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
