@@ -1,0 +1,93 @@
+"""Cross-document shared n-gram detection (fuzzy-substring-dedup signal).
+
+The RefinedWeb/"deduplicate-text-datasets" family removes text SPANS
+that recur across documents (Lee et al. 2021 use a suffix array; the
+production approximation everyone ships is n-gram-grain).  This
+operator computes the per-document evidence table for that decision:
+how many of the doc's distinct word n-grams also occur in at least one
+OTHER document, and how viral its most-duplicated n-gram is.
+
+Reference analogue: none (the reference dedups candidate lists, not
+corpora) — this is one of the survey's beyond-reference training-data
+pipeline components, sitting next to exact/minhash/simhash dedup in
+`dedup/`.
+
+Scale shape (100 TB):
+- n-grams are deduplicated WITHIN the doc (``array_distinct``) before
+  the explode, so the shuffle carries one row per distinct (doc, gram)
+  — repeated boilerplate inside one doc costs nothing downstream;
+- the doc-frequency aggregation is a map-side-combinable groupBy on
+  the gram key (uniformly hashed, high cardinality);
+- the join-back of (gram, doc_freq) onto (doc, gram) is gram-keyed and
+  skew-prone exactly on viral boilerplate grams; AQE skew-join splits
+  those, and a df-cap pre-filter (as in q16's SpotSigs plan) drops
+  stop-phrase grams from BOTH sides if a corpus needs it;
+- everything is JVM-side (split/slice/concat_ws/groupBy) — no Python
+  in the hot path, and all decision arithmetic is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cross_doc_shared_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-doc cross-document n-gram duplication stats.
+
+    Returns one row per input doc:
+      - ``n_distinct_ngrams``: distinct word n-grams in the doc;
+      - ``n_shared_ngrams``: how many of those occur in >= 2 distinct
+        docs corpus-wide (the doc itself counts once);
+      - ``shared_ngram_ratio``: n_shared / n_distinct rounded to 6dp
+        (0.0 for docs too short to form an n-gram);
+      - ``max_ngram_doc_freq``: document frequency of the doc's most
+        widely shared n-gram (0 when the doc has no n-grams).
+
+    Tokens are whitespace-split (``\\s+`` on the trimmed text, empties
+    dropped) and kept RAW — duplication is a byte-content question, so
+    no case folding.  The HOF lambdas stay single-parameter (pyspark
+    binds a second parameter to the element index).
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    # sequence(1, sz-n+1) is DESCENDING when sz < n, so short docs
+    # short-circuit to an empty array explicitly.
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # one row per DISTINCT (doc, gram)
+    dg = base.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    per_doc = (
+        dg.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.sum((F.col("doc_freq") >= 2).cast("int")).alias("n_shared_ngrams"),
+            F.max("doc_freq").alias("max_ngram_doc_freq"),
+        )
+    )
+    out = base.select(id_col).join(per_doc, id_col, "left")
+    n_distinct = F.coalesce(F.col("n_distinct_ngrams"), F.lit(0))
+    n_shared = F.coalesce(F.col("n_shared_ngrams"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_distinct.alias("n_distinct_ngrams"),
+        n_shared.cast("long").alias("n_shared_ngrams"),
+        F.when(n_distinct == 0, F.lit(0.0))
+        .otherwise(F.round(n_shared / n_distinct, 6))
+        .alias("shared_ngram_ratio"),
+        F.coalesce(F.col("max_ngram_doc_freq"), F.lit(0)).cast("long").alias(
+            "max_ngram_doc_freq"
+        ),
+    )

@@ -162,11 +162,39 @@ SELECT doc_id,
 FROM cleaned
 """
 
-ORACLES["q14_exact_dedup"] = """
-SELECT doc_id,
-       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-       count(*) OVER (PARTITION BY md5(text)) AS group_size
-FROM documents
+ORACLES["q14_exact_dedup"] = f"""
+WITH ex AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size
+  FROM documents
+),
+xtoks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+xdg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 8
+             THEN list_transform(range(1, len(tk) - 6),
+                                 i -> array_to_string(tk[i : i + 7], ' '))
+             ELSE []::VARCHAR[] END) AS gram
+    FROM xtoks)
+),
+xdf AS (SELECT gram, count(*) AS doc_freq FROM xdg GROUP BY gram),
+xper AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_distinct_ngrams,
+         sum(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_ngrams,
+         max(doc_freq)::BIGINT AS max_ngram_doc_freq
+  FROM xdg JOIN xdf USING (gram) GROUP BY doc_id
+)
+SELECT ex.doc_id, ex.canonical_id, ex.group_size,
+       COALESCE(x.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+       COALESCE(x.n_shared_ngrams, 0) AS n_shared_ngrams,
+       CASE WHEN COALESCE(x.n_distinct_ngrams, 0) = 0 THEN 0.0
+            ELSE round(x.n_shared_ngrams::DOUBLE / x.n_distinct_ngrams, 6)
+       END AS shared_ngram_ratio,
+       COALESCE(x.max_ngram_doc_freq, 0) AS max_ngram_doc_freq
+FROM ex LEFT JOIN xper x USING (doc_id)
 """
 
 _SHINGLES3 = f"""
@@ -1348,9 +1376,65 @@ ranked AS (
   SELECT qid AS query_id, vec_id, dot,
          row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
   FROM scored
+),
+cw AS (
+  SELECT js.j, cs.c, ts.t,
+         ({_hex8("md5('pq7:' || js.j || ':' || cs.c || ':' || ts.t)")} % 2001 - 1000)::DOUBLE AS w
+  FROM (SELECT unnest(range(0, 8)) AS j) js,
+       (SELECT unnest(range(0, 16)) AS c) cs,
+       (SELECT unnest(range(0, 8)) AS t) ts
+),
+xc AS (
+  SELECT a.vec_id, js.j, ts.t, a.v[js.j * 8 + ts.t + 1] AS x
+  FROM assign a,
+       (SELECT unnest(range(0, 8)) AS j) js,
+       (SELECT unnest(range(0, 8)) AS t) ts
+),
+xd AS (
+  SELECT xc.vec_id, xc.j, cw.c,
+         sum((xc.x - cw.w) * (xc.x - cw.w)) AS dist
+  FROM xc JOIN cw ON cw.j = xc.j AND cw.t = xc.t
+  GROUP BY xc.vec_id, xc.j, cw.c
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+    FROM xd
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT q.qid, js.j, ts.t, q.qv[js.j * 8 + ts.t + 1] AS x
+  FROM q,
+       (SELECT unnest(range(0, 8)) AS j) js,
+       (SELECT unnest(range(0, 8)) AS t) ts
+),
+lut AS (
+  SELECT qc.qid, qc.j, cw.c,
+         sum((qc.x - cw.w) * (qc.x - cw.w)) AS dist
+  FROM qc JOIN cw ON cw.j = qc.j AND cw.t = qc.t
+  GROUP BY qc.qid, qc.j, cw.c
+),
+pqcand AS (
+  SELECT p.qid, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+),
+adc AS (
+  SELECT pc.qid, pc.vec_id, sum(l.dist) AS adc
+  FROM pqcand pc
+  JOIN codes cd ON cd.vec_id = pc.vec_id
+  JOIN lut l ON l.qid = pc.qid AND l.j = cd.j AND l.c = cd.code
+  GROUP BY pc.qid, pc.vec_id
+),
+pqranked AS (
+  SELECT qid AS query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+  FROM adc
 )
-SELECT query_id, rank::INT AS rank, vec_id, dot::BIGINT AS dot
+SELECT 'ivf' AS kind, query_id, rank::INT AS rank, vec_id, dot::BIGINT AS score
 FROM ranked WHERE rank <= 3
+UNION ALL
+SELECT 'pq' AS kind, query_id, rank::INT AS rank, vec_id, adc::BIGINT AS score
+FROM pqranked WHERE rank <= 3
 """
 
 

@@ -236,10 +236,18 @@ def q13_clean_text(spark, sf_dir):
 
 
 def q14_exact_dedup(spark, sf_dir):
+    """Exact (hash-groupBy) dedup + cross-document shared-8-gram stats
+    (the fuzzy-substring-dedup evidence table, `dedup/crossdoc.py`),
+    joined on the doc grain."""
+    from medtype_spark.dedup.crossdoc import cross_doc_shared_ngrams
+    from medtype_spark.session import fan_out
+
     d = _t(spark, sf_dir, "documents")
-    return exact_dedup(d, "text", "doc_id").select(
+    ex = exact_dedup(d, "text", "doc_id").select(
         "doc_id", "canonical_id", "group_size"
     )
+    shared = cross_doc_shared_ngrams(fan_out(d), "text", "doc_id", n=8)
+    return ex.join(shared, "doc_id")
 
 
 def q15_minhash(spark, sf_dir):
@@ -1133,7 +1141,7 @@ def q67_ivf_topk(spark, sf_dir):
     oracle replays assignment, probing, and ranking from scratch.  The
     float/cosine production path keeps its recall pytest
     (test_neardup.py) against brute force."""
-    from medtype_spark.similarity.knn import ivf_topk, md5_centroids
+    from medtype_spark.similarity.knn import ivf_pq_topk, ivf_topk, md5_centroids
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1143,7 +1151,7 @@ def q67_ivf_topk(spark, sf_dir):
         ).alias("embedding"),
     )
     queries = emb.where(F.col("vec_id") % 23 == 0)
-    out = ivf_topk(
+    ivf = ivf_topk(
         emb,
         queries,
         dim=64,
@@ -1152,10 +1160,32 @@ def q67_ivf_topk(spark, sf_dir):
         query_id_col="vec_id",
         centroids=md5_centroids(64, 16, seed=7),
         metric="dot",
+    ).select(
+        F.lit("ivf").alias("kind"),
+        "query_id", "rank", "vec_id",
+        F.col("dot").cast("long").alias("score"),
     )
-    return out.select(
-        "query_id", "rank", "vec_id", F.col("dot").cast("long").alias("dot")
+    # PQ arm: same coarse quantizer (shared cells/probes), ADC re-rank
+    # over m=8 sub-space codes instead of the exact dot — the IVF-PQ
+    # composition (`similarity/knn.py:ivf_pq_topk`), every LUT entry
+    # and ADC sum an exact integer.
+    pq = ivf_pq_topk(
+        emb,
+        queries,
+        dim=64,
+        k=3,
+        nprobe=2,
+        m=8,
+        k_codes=16,
+        query_id_col="vec_id",
+        centroids=md5_centroids(64, 16, seed=7),
+        seed=7,
+    ).select(
+        F.lit("pq").alias("kind"),
+        "query_id", "rank", "vec_id",
+        F.col("adc").cast("long").alias("score"),
     )
+    return ivf.unionByName(pq)
 
 
 def q68_significance(spark, sf_dir):

@@ -387,3 +387,214 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, score_col)
     )
+
+
+# --- IVF-PQ: product-quantized ADC re-rank ------------------------------
+
+def md5_pq_codebooks(
+    dim: int = 64, m: int = 8, k: int = 16, seed: int = 7
+) -> np.ndarray:
+    """Deterministic integer PQ codebooks, shape (m, k, dim//m).
+
+    Component t of codeword c in subspace j =
+    ``md5_bucket('pq{seed}:{j}:{c}:{t}', 2001) - 1000`` — the same
+    engine-portable md5 recipe as the IVF centroid grid, so the DuckDB
+    oracle re-derives every codeword from scratch.  Integer-valued
+    float64: squared-distance sums stay far below 2^53, making encode
+    argmins and ADC rankings bit-portable across numpy, Spark, and
+    DuckDB."""
+    d = dim // m
+    return np.array(
+        [
+            [
+                [float(md5_bucket(f"pq{seed}:{j}:{c}:{t}", 2001) - 1000) for t in range(d)]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ],
+        dtype=np.float64,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Product-quantization codes: per subspace j, the index of the
+    L2-nearest codeword (Arrow-batched argmin against the broadcast
+    codebook tensor; ties break to the LOWEST codeword index —
+    np.argmin's first-minimum, mirrored by the oracle's
+    ``ORDER BY dist, c`` rank).  Output column is ``array<int>`` of
+    length m — the 100 TB shape: m bytes of code per vector replace
+    dim floats in the candidate store."""
+    spark = corpus.sparkSession
+    cb = spark.sparkContext.broadcast(np.asarray(codebooks))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        books = cb.value  # (m, k, d)
+        m_sub, _k, d = books.shape
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        codes = np.empty((len(x), m_sub), dtype=np.int32)
+        for j in range(m_sub):
+            sub = x[:, j * d : (j + 1) * d]                    # (N, d)
+            # (N, k): ||sub - C_jc||^2 for every codeword
+            dists = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(dists, axis=1)             # first min
+        return pd.Series([row.tolist() for row in codes])
+
+    return corpus.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    centroids=None,
+    codebooks=None,
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the standard 100 TB ANN shape.
+
+    Two-level quantization: the IVF coarse quantizer restricts each
+    query to its ``nprobe`` probed cells (candidates ∝
+    nprobe/n_centroids of the corpus, exactly as in :func:`ivf_topk`),
+    and within the candidates the exact re-rank is replaced by
+    **asymmetric distance computation**: each candidate is represented
+    only by its m-subspace PQ code, and its distance to the query is
+    the sum of m precomputed lookup-table entries
+    ``LUT[j][code_j] = ||q_j - C_j,code_j||²`` — O(m) adds per
+    candidate instead of O(dim) multiplies, with the LUT built once
+    per query against the broadcast codebooks.
+
+    The ADC sum itself runs JVM-side in whole-stage codegen:
+    ``aggregate(transform(code, (c, j) -> lut[j*k + c]))`` over the
+    query's flattened LUT array — no Python in the per-candidate hot
+    path.  With integer-valued codebooks and quantized vectors every
+    LUT entry and every ADC sum is an exact integer, so rankings are
+    bit-portable (ties break on ascending ``vec_id``).
+
+    Returns (query_id, rank, vec_id, adc) with rank 1..k by ascending
+    ADC distance.
+    """
+    if centroids is None:
+        centroids = md5_centroids(dim, n_centroids, seed=seed)
+    if codebooks is None:
+        codebooks = md5_pq_codebooks(dim, m, k_codes, seed=seed)
+    assigned = pq_encode(
+        ivf_assign(corpus, centroids, vec_col, metric="dot"),
+        codebooks,
+        vec_col,
+    )
+
+    spark = corpus.sparkSession
+    cents_b = spark.sparkContext.broadcast(np.asarray(centroids))
+    books_b = spark.sparkContext.broadcast(np.asarray(codebooks))
+    np_probe = min(nprobe, len(centroids))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        cents = cents_b.value
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        sims = x @ cents.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :np_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def adc_lut(vecs: pd.Series) -> pd.Series:
+        books = books_b.value  # (m, k, d)
+        m_sub, kk, d = books.shape
+        x = np.array([list(v) for v in vecs], dtype=np.float64)
+        out = np.empty((len(x), m_sub * kk), dtype=np.float64)
+        for j in range(m_sub):
+            sub = x[:, j * d : (j + 1) * d]
+            out[:, j * kk : (j + 1) * kk] = (
+                (sub[:, None, :] - books[j][None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series([row.tolist() for row in out])
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+    ).select(
+        "_qid",
+        F.explode(probes(F.col("_qvec"))).alias("_cell"),
+        adc_lut(F.col("_qvec")).alias("_lut"),
+    )
+    joined = assigned.join(
+        F.broadcast(q), assigned["ivf_cell"] == q["_cell"]
+    ).where(F.col(id_col) != F.col("_qid"))
+    # ADC: sum of m LUT lookups, pure whole-stage-codegen arithmetic.
+    # The transform lambda's SECOND parameter is the element index —
+    # the one place that pyspark signature is exactly what we want.
+    adc = F.aggregate(
+        F.transform(
+            F.col("pq_code"),
+            lambda c, j: F.element_at(F.col("_lut"), j * k_codes + c + 1),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = joined.select(
+        F.col("_qid").alias("query_id"), F.col(id_col), adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "adc")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on the same deterministic id-hash-
+    stratified driver sample as :func:`train_ivf_centroids` — the
+    production PQ path (the md5 codebooks are the oracle fixture).
+    Returns (m, k, dim//m)."""
+    n = corpus.count()
+    stride = max(1, n // sample_cap)
+    sample = (
+        corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .select(vec_col)
+        .toPandas()
+    )
+    x = np.array([list(v) for v in sample[vec_col]], dtype=np.float64)
+    d = dim // m
+    rs = np.random.RandomState(seed)
+    books = np.empty((m, k, d), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * d : (j + 1) * d]
+        cents = sub[rs.choice(len(sub), size=min(k, len(sub)), replace=False)]
+        for _ in range(iters):
+            dists = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dists.argmin(1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        if len(cents) < k:  # degenerate tiny sample: pad by repetition
+            cents = np.vstack([cents] * (k // len(cents) + 1))[:k]
+        books[j] = cents
+    return books
