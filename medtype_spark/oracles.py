@@ -90,13 +90,31 @@ GROUP BY a.user_id
 """
 
 ORACLES["q11_sliding_stats"] = """
-WITH e AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-SELECT user_id, event_id,
-       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_200,
-       count(*) OVER w AS n_window
-FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+WITH e AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+stats AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_200,
+         count(*) OVER w AS n_window
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+),
+-- right-side tie reduction: one click per (user_id, ts), max event_id
+clicks AS (
+  SELECT user_id, ts, max(event_id) AS last_click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+-- DuckDB's NATIVE as-of join: independent implementation of the
+-- at-or-before-latest semantics the Spark side builds from
+-- union-tag + running last() (operators/asof.py)
+-- -1 sentinel for no-prior-click keeps the column a non-nullable
+-- BIGINT on both engines (NULL would pandas-decay to NaN/None)
+SELECT s.user_id, s.event_id, s.sum_cents_200, s.n_window,
+       COALESCE(c.last_click_id, -1) AS last_click_id,
+       COALESCE(date_diff('microsecond', c.ts, s.ts), -1) AS since_click_us
+FROM stats s ASOF LEFT JOIN clicks c
+  ON s.user_id = c.user_id AND s.ts >= c.ts
 """
 
 ORACLES["q12_micro_macro"] = """
@@ -158,7 +176,28 @@ SELECT doc_id,
          AS collapsed_md5,
        replace(regexp_replace('en.wikipedia.org/wiki/' || source || ' page',
                               '^en\.wikipedia\.org/wiki/', ''),
-               ' ', '_') AS norm_link
+               ' ', '_') AS norm_link,
+       -- canonical URL per functions/urls.py contract, stated BY HAND
+       -- per messy-URL variant (not a replay of the regex pipeline):
+       -- v0 HTTP://WWW.SiteH.COM:80/a/ID/ -> case, www, :80, trailing /
+       -- v1 ...co.uk:443/...?x=1&y=2#frag -> :443, fragment dropped
+       -- v2 http://user:pw@SiteH.com/a/ID? -> userinfo, bare ? dropped
+       -- v3 :8443 non-default port KEPT
+       -- v4 root path / kept    v5 trailing / stripped from /a/ID/b/
+       CASE doc_id % 6
+         WHEN 0 THEN 'http://site'  || (doc_id % 40) || '.com/a/' || doc_id
+         WHEN 1 THEN 'https://site' || (doc_id % 40) || '.co.uk/a/' || doc_id || '?x=1&y=2'
+         WHEN 2 THEN 'http://site'  || (doc_id % 40) || '.com/a/' || doc_id
+         WHEN 3 THEN 'https://site' || (doc_id % 40) || '.com:8443/a/' || doc_id
+         WHEN 4 THEN 'http://site'  || (doc_id % 40) || '.co.uk/'
+         ELSE 'https://site' || (doc_id % 40) || '.com/a/' || doc_id || '/b'
+       END AS canon_url,
+       -- registrable domain: co.uk is a two-level public suffix
+       -- (last 3 labels); bare .com hosts are already registrable
+       CASE WHEN doc_id % 6 IN (1, 4)
+            THEN 'site' || (doc_id % 40) || '.co.uk'
+            ELSE 'site' || (doc_id % 40) || '.com'
+       END AS reg_domain
 FROM cleaned
 """
 
@@ -188,6 +227,13 @@ xper AS (
   FROM xdg JOIN xdf USING (gram) GROUP BY doc_id
 )
 SELECT ex.doc_id, ex.canonical_id, ex.group_size,
+       -- deterministic md5 hex-prefix split/sample (operators/sampling.py):
+       -- thresholds cccd = round(0.8*16^4), e666 = round(0.9*16^4),
+       -- 3333 = round(0.2*16^4); lexicographic hex compare == numeric
+       CASE WHEN substring(md5(CAST(ex.doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+            WHEN substring(md5(CAST(ex.doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+       (substring(md5('s1' || CAST(ex.doc_id AS VARCHAR)), 1, 4) < '3333')::INT AS in_sample,
        COALESCE(x.n_distinct_ngrams, 0) AS n_distinct_ngrams,
        COALESCE(x.n_shared_ngrams, 0) AS n_shared_ngrams,
        CASE WHEN COALESCE(x.n_distinct_ngrams, 0) = 0 THEN 0.0

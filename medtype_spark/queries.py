@@ -178,7 +178,18 @@ def q11_sliding_stats(spark, sf_dir):
 
     Aggregates exact integer cents: window-function association order
     differs between engines, so float sums are not reproducible, but
-    integer sums are."""
+    integer sums are.
+
+    Merged (r5): keyed AS-OF JOIN (`operators/asof.py`) — every event
+    also carries the most recent 'click' event at-or-before its
+    timestamp for the same user (click-attribution shape; warc_ts
+    re-crawl lookups at web scale).  The oracle uses DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` operator, so Spark's union-tag + running-last
+    formulation is checked against an independent engine
+    implementation, not a replay of the same algorithm.  The delta is
+    integer microseconds — no float order sensitivity."""
+    from medtype_spark.operators.asof import asof_join
+
     e = _t(spark, sf_dir, "events").withColumn(
         "cents", F.round(F.col("value") * 100, 0).cast("long")
     )
@@ -187,11 +198,45 @@ def q11_sliding_stats(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-199, 0)
     )
-    return e.select(
+    stats = e.select(
         "user_id",
         "event_id",
+        "ts",
         F.sum("cents").over(w).alias("sum_cents_200"),
         F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("last_click_id"),
+        )
+    )
+    joined = asof_join(
+        stats,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        payload_cols=["last_click_id", "click_ts"],
+        tiebreak="last_click_id",
+    )
+    # no-prior-click rows use a -1 sentinel instead of NULL so both
+    # engines hash the column as a non-nullable BIGINT (pandas turns a
+    # nullable int into float NaN on one side and object None on the
+    # other — a representation mismatch, not a value difference)
+    return joined.select(
+        "user_id",
+        "event_id",
+        "sum_cents_200",
+        "n_window",
+        F.coalesce(F.col("last_click_id"), F.lit(-1)).alias("last_click_id"),
+        # timestamp_diff is NTZ-safe (unix_micros rejects TIMESTAMP_NTZ)
+        F.coalesce(
+            F.timestamp_diff("MICROSECOND", F.col("click_ts"), F.col("ts")),
+            F.lit(-1),
+        ).alias("since_click_us"),
     )
 
 
@@ -224,27 +269,74 @@ def q13_clean_text(spark, sf_dir):
     helper.py:271-288, applied after clean_text as the reference does)
     + P5 wikipedia link normalization over a derived URL column
     (formerly q20; merged to keep the registry inside the driver's
-    50-query window) — all are per-doc projections over the same scan."""
+    50-query window) + crawl-URL canonicalization / registered-domain
+    extraction (`functions/urls.py` — the cheapest dedup key for the
+    BASELINE input_hint's url-keyed pages table) over six deterministic
+    messy-URL variants derived from doc_id — all are per-doc JVM
+    projections over the same scan.  The URL oracle states the
+    EXPECTED canonical form per variant by hand (independent of the
+    implementation's regex pipeline), so the contract itself is what
+    the driver checks."""
+    from medtype_spark.functions.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
     d = _t(spark, sf_dir, "documents")
     url = F.concat(F.lit("en.wikipedia.org/wiki/"), F.col("source"), F.lit(" page"))
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 40).cast("string")
+    variant = F.col("doc_id") % 6
+    messy = (
+        F.when(variant == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), h, F.lit(".COM:80/a/"), did, F.lit("/")))
+        .when(variant == 1, F.concat(
+            F.lit("https://site"), h, F.lit(".co.uk:443/a/"), did,
+            F.lit("?x=1&y=2#frag")))
+        .when(variant == 2, F.concat(
+            F.lit("http://user:pw@Site"), h, F.lit(".com/a/"), did, F.lit("?")))
+        .when(variant == 3, F.concat(
+            F.lit("https://site"), h, F.lit(".com:8443/a/"), did))
+        .when(variant == 4, F.concat(
+            F.lit("http://www.site"), h, F.lit(".co.uk/")))
+        .otherwise(F.concat(
+            F.lit("https://SITE"), h, F.lit(".Com/a/"), did, F.lit("/b/")))
+    )
+    canon = canonicalize_url(messy)
     return d.select(
         "doc_id",
         F.md5(clean_text_udf(F.col("text"))).alias("clean_md5"),
         F.md5(clean_collapse_udf(F.col("text"))).alias("collapsed_md5"),
         normalise_link_col(url).alias("norm_link"),
+        canon.alias("canon_url"),
+        registered_domain(url_host(canon)).alias("reg_domain"),
     )
 
 
 def q14_exact_dedup(spark, sf_dir):
     """Exact (hash-groupBy) dedup + cross-document shared-8-gram stats
     (the fuzzy-substring-dedup evidence table, `dedup/crossdoc.py`),
-    joined on the doc grain."""
+    joined on the doc grain.
+
+    Merged (r5): deterministic hash-keyed train/val/test split and
+    Bernoulli sample flag (`operators/sampling.py`) — the
+    layout-independent, engine-portable selection a growing corpus
+    needs to avoid train/test leakage; the oracle replays the md5
+    hex-prefix thresholds verbatim."""
     from medtype_spark.dedup.crossdoc import cross_doc_shared_ngrams
+    from medtype_spark.operators.sampling import hash_sample_flag, hash_split
     from medtype_spark.session import fan_out
 
     d = _t(spark, sf_dir, "documents")
-    ex = exact_dedup(d, "text", "doc_id").select(
-        "doc_id", "canonical_id", "group_size"
+    ex = hash_split(
+        exact_dedup(d, "text", "doc_id").select(
+            "doc_id", "canonical_id", "group_size"
+        ),
+        key="doc_id",
+    ).withColumn(
+        "in_sample",
+        hash_sample_flag(F.col("doc_id"), 0.2, salt="s1").cast("int"),
     )
     shared = cross_doc_shared_ngrams(fan_out(d), "text", "doc_id", n=8)
     return ex.join(shared, "doc_id")
