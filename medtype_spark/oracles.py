@@ -157,13 +157,41 @@ SELECT 'macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
 FROM prf2
 """
 
-ORACLES["q13_clean_text"] = r"""
+ORACLES["q13_clean_text"] = rf"""
 WITH cleaned AS (
   SELECT doc_id, source,
          replace(replace(replace(
              regexp_replace(text, '[^[:ascii:]]', '?', 'g'),
            chr(10), ' '), '|', ' '), chr(39), ' ') AS ct
   FROM documents
+),
+-- CCNet-style corpus-level duplicate-line removal over 8-token chunk
+-- lines (dedup/lines.py): globally-first (doc_id, line_no) occurrence
+-- of each line >= 20 chars is kept, shorter lines always kept
+tk13 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+l13 AS (
+  SELECT doc_id, s.line_no AS line_no, s.ln AS ln FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, greatest(CAST(ceil(len(tk) / 8.0) AS INT), 1)),
+             i -> {{'line_no': i,
+                    'ln': array_to_string(tk[i*8+1 : i*8+8], ' ')}})) AS s
+    FROM tk13)
+),
+mk13 AS (
+  SELECT doc_id, line_no, ln,
+         (length(ln) < 20 OR
+          row_number() OVER (PARTITION BY md5(ln)
+                             ORDER BY doc_id, line_no) = 1) AS keep
+  FROM l13
+),
+red13 AS (
+  SELECT doc_id,
+         md5(COALESCE(string_agg(ln, chr(10) ORDER BY line_no)
+                        FILTER (WHERE keep), '')) AS line_dedup_md5,
+         count(*) AS n_lines,
+         count(*) FILTER (WHERE NOT keep) AS n_dup_lines_removed
+  FROM mk13 GROUP BY doc_id
 )
 SELECT doc_id,
        md5(ct) AS clean_md5,
@@ -197,8 +225,11 @@ SELECT doc_id,
        CASE WHEN doc_id % 6 IN (1, 4)
             THEN 'site' || (doc_id % 40) || '.co.uk'
             ELSE 'site' || (doc_id % 40) || '.com'
-       END AS reg_domain
-FROM cleaned
+       END AS reg_domain,
+       red13.line_dedup_md5,
+       red13.n_lines,
+       red13.n_dup_lines_removed
+FROM cleaned JOIN red13 USING (doc_id)
 """
 
 ORACLES["q14_exact_dedup"] = f"""

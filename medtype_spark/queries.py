@@ -276,7 +276,14 @@ def q13_clean_text(spark, sf_dir):
     projections over the same scan.  The URL oracle states the
     EXPECTED canonical form per variant by hand (independent of the
     implementation's regex pipeline), so the contract itself is what
-    the driver checks."""
+    the driver checks.
+
+    Merged (r5b): CCNet-style corpus-level duplicate-line removal
+    (`dedup/lines.py`) over deterministic 8-token chunk "lines" (the
+    raw synthetic docs are single-line; chunking turns the cross-doc
+    shared runs that q14's shared-8-gram stats already prove exist
+    into removable duplicate lines)."""
+    from medtype_spark.dedup.lines import dedup_corpus_lines
     from medtype_spark.functions.urls import (
         canonicalize_url,
         registered_domain,
@@ -284,6 +291,19 @@ def q13_clean_text(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.greatest(F.ceil(F.size(toks) / F.lit(8)).cast("int"), F.lit(1))
+    chunked = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = d.select("doc_id", F.array_join(chunked, "\n").alias("lt"))
+    ld = dedup_corpus_lines(lined, "lt", "doc_id", min_len=20).select(
+        "doc_id",
+        F.md5("text_dedup").alias("line_dedup_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dup_lines_removed").cast("long").alias("n_dup_lines_removed"),
+    )
     url = F.concat(F.lit("en.wikipedia.org/wiki/"), F.col("source"), F.lit(" page"))
     did = F.col("doc_id").cast("string")
     h = (F.col("doc_id") % 40).cast("string")
@@ -304,7 +324,7 @@ def q13_clean_text(spark, sf_dir):
             F.lit("https://SITE"), h, F.lit(".Com/a/"), did, F.lit("/b/")))
     )
     canon = canonicalize_url(messy)
-    return d.select(
+    base = d.select(
         "doc_id",
         F.md5(clean_text_udf(F.col("text"))).alias("clean_md5"),
         F.md5(clean_collapse_udf(F.col("text"))).alias("collapsed_md5"),
@@ -312,6 +332,7 @@ def q13_clean_text(spark, sf_dir):
         canon.alias("canon_url"),
         registered_domain(url_host(canon)).alias("reg_domain"),
     )
+    return base.join(ld, "doc_id")
 
 
 def q14_exact_dedup(spark, sf_dir):

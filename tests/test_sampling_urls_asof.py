@@ -159,3 +159,36 @@ def test_asof_join_partition_invariance(spark):
     b = asof_join(left.repartition(13), right.repartition(3),
                   "k", "lts", "rts", ["rid"], tiebreak="rid")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_join_differential_vs_pandas_merge_asof(spark):
+    """Differential vs pandas.merge_asof (independent reference
+    implementation) on seeded random frames, unique (k, ts) per side."""
+    import pandas as pd
+    import random
+
+    rnd = random.Random(99)
+    for trial in range(3):
+        lpairs = {(rnd.randrange(6), rnd.randrange(10_000)) for _ in range(250)}
+        rpairs = {(rnd.randrange(6), rnd.randrange(10_000)) for _ in range(70)}
+        lpdf = pd.DataFrame(
+            [{"k": k, "lts": _ts(0) + datetime.timedelta(seconds=s), "lid": i}
+             for i, (k, s) in enumerate(sorted(lpairs))]
+        )
+        rpdf = pd.DataFrame(
+            [{"k": k, "rts": _ts(0) + datetime.timedelta(seconds=s), "rid": i}
+             for i, (k, s) in enumerate(sorted(rpairs))]
+        )
+        want = pd.merge_asof(
+            lpdf.sort_values("lts"), rpdf.sort_values("rts"),
+            left_on="lts", right_on="rts", by="k", direction="backward",
+        )
+        got = asof_join(
+            spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+            on="k", left_ts="lts", right_ts="rts", payload_cols=["rid"],
+        ).toPandas()
+        wmap = {r.lid: (None if pd.isna(r.rid) else int(r.rid))
+                for r in want.itertuples()}
+        gmap = {r.lid: (None if pd.isna(r.rid) else int(r.rid))
+                for r in got.itertuples()}
+        assert gmap == wmap, f"trial {trial}"
