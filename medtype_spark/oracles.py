@@ -159,7 +159,7 @@ FROM prf2
 
 ORACLES["q13_clean_text"] = rf"""
 WITH cleaned AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, text,
          replace(replace(replace(
              regexp_replace(text, '[^[:ascii:]]', '?', 'g'),
            chr(10), ' '), '|', ' '), chr(39), ' ') AS ct
@@ -228,7 +228,19 @@ SELECT doc_id,
        END AS reg_domain,
        red13.line_dedup_md5,
        red13.n_lines,
-       red13.n_dup_lines_removed
+       red13.n_dup_lines_removed,
+       -- PII scrub checked against GROUND TRUTH: the base corpus has
+       -- no digits or '@' (verified at every sf), the laced fragments
+       -- are constructed per doc_id, so the expected scrubbed text is
+       -- stated by construction rather than replaying the regexes
+       md5(CASE doc_id % 4
+             WHEN 0 THEN text || ' reach me at <EMAIL> now'
+             WHEN 1 THEN text || ' call <PHONE> soon'
+             WHEN 2 THEN text || ' server at <IP> up'
+             ELSE text END) AS scrubbed_md5,
+       CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS n_pii_email,
+       CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS n_pii_ipv4,
+       CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS n_pii_phone
 FROM cleaned JOIN red13 USING (doc_id)
 """
 

@@ -282,8 +282,15 @@ def q13_clean_text(spark, sf_dir):
     (`dedup/lines.py`) over deterministic 8-token chunk "lines" (the
     raw synthetic docs are single-line; chunking turns the cross-doc
     shared runs that q14's shared-8-gram stats already prove exist
-    into removable duplicate lines)."""
+    into removable duplicate lines).
+
+    Merged (r5c): PII scrubbing (`functions/pii.py`) over text laced
+    with deterministic doc_id-derived contact fragments (the base
+    corpus contains no digits or '@' — verified at every sf — so the
+    oracle can state the scrubbed text BY CONSTRUCTION and the driver
+    checks the regexes against ground truth, not a regex replay)."""
     from medtype_spark.dedup.lines import dedup_corpus_lines
+    from medtype_spark.functions.pii import pii_counts, scrub_pii
     from medtype_spark.functions.urls import (
         canonicalize_url,
         registered_domain,
@@ -324,6 +331,22 @@ def q13_clean_text(spark, sf_dir):
             F.lit("https://SITE"), h, F.lit(".Com/a/"), did, F.lit("/b/")))
     )
     canon = canonicalize_url(messy)
+    p = F.col("doc_id") % 4
+    laced = (
+        F.when(p == 0, F.concat(
+            F.col("text"), F.lit(" reach me at user"), did, F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"), F.lit(".com now")))
+        .when(p == 1, F.concat(
+            F.col("text"), F.lit(" call +1-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" soon")))
+        .when(p == 2, F.concat(
+            F.col("text"), F.lit(" server at 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"), F.lit(" up")))
+        .otherwise(F.col("text"))
+    )
+    counts = pii_counts(laced)
     base = d.select(
         "doc_id",
         F.md5(clean_text_udf(F.col("text"))).alias("clean_md5"),
@@ -331,6 +354,10 @@ def q13_clean_text(spark, sf_dir):
         normalise_link_col(url).alias("norm_link"),
         canon.alias("canon_url"),
         registered_domain(url_host(canon)).alias("reg_domain"),
+        F.md5(scrub_pii(laced)).alias("scrubbed_md5"),
+        counts["email"],
+        counts["ipv4"],
+        counts["phone"],
     )
     return base.join(ld, "doc_id")
 

@@ -192,3 +192,29 @@ def test_asof_join_differential_vs_pandas_merge_asof(spark):
         gmap = {r.lid: (None if pd.isna(r.rid) else int(r.rid))
                 for r in got.itertuples()}
         assert gmap == wmap, f"trial {trial}"
+
+
+# ---------------------------------------------------------------- pii
+
+def test_scrub_pii_cases(spark):
+    from medtype_spark.functions.pii import pii_counts, scrub_pii
+
+    cases = [
+        ("mail bob.smith+x@sub.example.co.uk end", "mail <EMAIL> end", (1, 0, 0)),
+        ("dial +44 555 1234 or 1-800-9999 now", "dial <PHONE> or <PHONE> now", (0, 0, 2)),
+        ("host 192.168.0.1 and 10.0.0.255", "host <IP> and <IP>", (0, 2, 0)),
+        ("a@b.com via 8.8.8.8 at +1-555-0000", "<EMAIL> via <IP> at <PHONE>", (1, 1, 1)),
+        # conservative non-matches: bare digit runs, version strings,
+        # @handles without a TLD, hyphenated words
+        ("build 20240101 v1.2 @handle x-y-z", "build 20240101 v1.2 @handle x-y-z", (0, 0, 0)),
+    ]
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(t=t) for t, _, _ in cases])
+    c = pii_counts(F.col("t"))
+    got = df.select(
+        "t", scrub_pii(F.col("t")).alias("s"),
+        c["email"], c["ipv4"], c["phone"],
+    ).collect()
+    by_t = {r.t: (r.s, (r.n_pii_email, r.n_pii_ipv4, r.n_pii_phone)) for r in got}
+    for t, want_s, want_c in cases:
+        assert by_t[t] == (want_s, want_c), t
