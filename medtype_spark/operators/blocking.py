@@ -64,6 +64,12 @@ def block_pairs(
     """
     extra_cols = extra_cols or []
     cols = [key_col, id_col, *extra_cols]
+    reserved = {"_cell", "_ncells", "_bsize"}
+    clash = reserved.intersection(cols)
+    if clash:
+        # the salt grid overwrites these internally; a caller key named
+        # "_cell" silently degrades the block join to all-pairs
+        raise ValueError(f"block_pairs reserved column name(s) in input: {clash}")
     # The salted table is consumed three times (size pre-pass + both
     # join sides); persist it so upstream stages (UDF scans, joins) run
     # once.  MEMORY_AND_DISK: spills instead of OOM at scale.

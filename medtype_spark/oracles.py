@@ -1518,12 +1518,40 @@ pqranked AS (
   SELECT qid AS query_id, vec_id, adc,
          row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
   FROM adc
+),
+-- SemDedup arm (similarity/semdedup.py): within-cell integer-dot
+-- edges at threshold 350000, transitive closure (recursive CTE),
+-- min-id canonical per component, group sizes
+sd_edges AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) >= 350000
+),
+sd_bi AS (
+  SELECT s, d FROM sd_edges UNION SELECT d, s FROM sd_edges
+),
+sd_reach AS (
+  WITH RECURSIVE r(node, comp) AS (
+    SELECT vec_id, vec_id FROM assign
+    UNION
+    SELECT b.d, r.comp FROM r JOIN sd_bi b ON b.s = r.node
+  )
+  SELECT node, min(comp) AS canonical_id FROM r GROUP BY node
+),
+sd AS (
+  SELECT a.vec_id, a.cell, rc.canonical_id,
+         count(*) OVER (PARTITION BY rc.canonical_id) AS group_size
+  FROM assign a JOIN sd_reach rc ON rc.node = a.vec_id
 )
 SELECT 'ivf' AS kind, query_id, rank::INT AS rank, vec_id, dot::BIGINT AS score
 FROM ranked WHERE rank <= 3
 UNION ALL
 SELECT 'pq' AS kind, query_id, rank::INT AS rank, vec_id, adc::BIGINT AS score
 FROM pqranked WHERE rank <= 3
+UNION ALL
+SELECT 'semdedup' AS kind, cell::BIGINT AS query_id, group_size::INT AS rank,
+       vec_id, canonical_id::BIGINT AS score
+FROM sd
 """
 
 

@@ -1325,7 +1325,25 @@ def q67_ivf_topk(spark, sf_dir):
         "query_id", "rank", "vec_id",
         F.col("adc").cast("long").alias("score"),
     )
-    return ivf.unionByName(pq)
+    # SemDedup arm (similarity/semdedup.py, Abbas et al. 2023): same
+    # coarse quantizer, within-cell integer-dot edges at 350000,
+    # CC closure, min-id canonical.  Column mapping into the shared
+    # kind-frame: query_id=cell, rank=group_size, score=canonical_id.
+    from medtype_spark.similarity.semdedup import semantic_dedup
+
+    sd = semantic_dedup(
+        emb,
+        md5_centroids(64, 16, seed=7),
+        threshold=350_000.0,
+        metric="dot",
+    ).select(
+        F.lit("semdedup").alias("kind"),
+        F.col("cell").cast("long").alias("query_id"),
+        F.col("group_size").cast("int").alias("rank"),
+        "vec_id",
+        F.col("canonical_id").cast("long").alias("score"),
+    )
+    return ivf.unionByName(pq).unionByName(sd)
 
 
 def q68_significance(spark, sf_dir):
