@@ -69,6 +69,36 @@ def hash_sample(df: DataFrame, key: str, rate: float, salt: str = "") -> DataFra
     return df.where(hash_sample_flag(F.col(key), rate, salt))
 
 
+def stratified_take(
+    df: DataFrame,
+    key: str,
+    strata: Sequence[str],
+    k: int,
+    salt: str = "",
+    rank_col: str = "strat_rank",
+) -> DataFrame:
+    """Deterministic exactly-k-per-stratum sample.
+
+    Rows are ranked within each stratum by (md5 bucket of the key,
+    key) — an order that is uniform-pseudorandom yet a pure function of
+    the data — and the first ``k`` survive.  The classic "N exemplar
+    documents per language / per domain" pipeline stage, without
+    ``df.sample()``'s layout dependence and without a global sort (one
+    shuffle on the strata, rank within partition).
+
+    Returns the input plus ``rank_col`` (1-based), filtered to <= k.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(
+        _bucket(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
 def hash_split(
     df: DataFrame,
     key: str,

@@ -277,13 +277,24 @@ SELECT ex.doc_id, ex.canonical_id, ex.group_size,
             WHEN substring(md5(CAST(ex.doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
             ELSE 'test' END AS split,
        (substring(md5('s1' || CAST(ex.doc_id AS VARCHAR)), 1, 4) < '3333')::INT AS in_sample,
+       -- exactly-5-per-lang exemplars: rank within lang by
+       -- (md5 bucket, doc_id), 0 = not an exemplar
+       COALESCE(CASE WHEN ex5.rk <= 5 THEN ex5.rk::INT END, 0) AS exemplar_rank,
        COALESCE(x.n_distinct_ngrams, 0) AS n_distinct_ngrams,
        COALESCE(x.n_shared_ngrams, 0) AS n_shared_ngrams,
        CASE WHEN COALESCE(x.n_distinct_ngrams, 0) = 0 THEN 0.0
             ELSE round(x.n_shared_ngrams::DOUBLE / x.n_distinct_ngrams, 6)
        END AS shared_ngram_ratio,
        COALESCE(x.max_ngram_doc_freq, 0) AS max_ngram_doc_freq
-FROM ex LEFT JOIN xper x USING (doc_id)
+FROM ex
+LEFT JOIN xper x USING (doc_id)
+JOIN (
+  SELECT doc_id, row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+         ) AS rk
+  FROM documents
+) ex5 USING (doc_id)
 """
 
 _SHINGLES3 = f"""

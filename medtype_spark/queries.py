@@ -371,9 +371,14 @@ def q14_exact_dedup(spark, sf_dir):
     Bernoulli sample flag (`operators/sampling.py`) — the
     layout-independent, engine-portable selection a growing corpus
     needs to avoid train/test leakage; the oracle replays the md5
-    hex-prefix thresholds verbatim."""
+    hex-prefix thresholds verbatim.  Also merged: exactly-5-per-lang
+    exemplar sampling (`stratified_take`; 0 = not an exemplar)."""
     from medtype_spark.dedup.crossdoc import cross_doc_shared_ngrams
-    from medtype_spark.operators.sampling import hash_sample_flag, hash_split
+    from medtype_spark.operators.sampling import (
+        hash_sample_flag,
+        hash_split,
+        stratified_take,
+    )
     from medtype_spark.session import fan_out
 
     d = _t(spark, sf_dir, "documents")
@@ -386,6 +391,11 @@ def q14_exact_dedup(spark, sf_dir):
         "in_sample",
         hash_sample_flag(F.col("doc_id"), 0.2, salt="s1").cast("int"),
     )
+    ex5 = stratified_take(d.select("doc_id", "lang"), "doc_id", ["lang"], k=5)
+    ex = ex.join(
+        ex5.select("doc_id", "lang", "strat_rank"), "doc_id", "left"
+    ).withColumn("exemplar_rank", F.coalesce(F.col("strat_rank"), F.lit(0))) \
+     .drop("strat_rank", "lang")
     shared = cross_doc_shared_ngrams(fan_out(d), "text", "doc_id", n=8)
     return ex.join(shared, "doc_id")
 

@@ -218,3 +218,28 @@ def test_scrub_pii_cases(spark):
     by_t = {r.t: (r.s, (r.n_pii_email, r.n_pii_ipv4, r.n_pii_phone)) for r in got}
     for t, want_s, want_c in cases:
         assert by_t[t] == (want_s, want_c), t
+
+
+def test_stratified_take_exact_k_and_layout_independent(spark):
+    from medtype_spark.operators.sampling import stratified_take
+
+    df = spark.range(0, 900).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    taken = stratified_take(df, "k", ["g"], k=7)
+    rows = taken.collect()
+    per_g = {}
+    for r in rows:
+        per_g.setdefault(r.g, []).append((r.strat_rank, r.k))
+    assert set(len(v) for v in per_g.values()) == {7}  # exactly k per stratum
+    for v in per_g.values():
+        assert sorted(r for r, _ in v) == list(range(1, 8))  # ranks 1..k
+    # layout-independent: same exemplars after repartition
+    again = {(r.g, r.k) for r in
+             stratified_take(df.repartition(11), "k", ["g"], k=7).collect()}
+    assert again == {(r.g, r.k) for r in rows}
+    # pure-python replay of the contract
+    for g, v in per_g.items():
+        ks = [k for k in range(900) if str(k % 3) == g]
+        ks.sort(key=lambda k: (hashlib.md5(str(k).encode()).hexdigest()[:4], k))
+        assert sorted(k for _, k in v) == sorted(ks[:7])
