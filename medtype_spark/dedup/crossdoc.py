@@ -91,3 +91,57 @@ def cross_doc_shared_ngrams(
             "max_ngram_doc_freq"
         ),
     )
+
+
+def _distinct_doc_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """One row per DISTINCT (doc, word-n-gram); same tokenization and
+    short-doc semantics as cross_doc_shared_ngrams."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that share any word
+    n-gram with the benchmark set.
+
+    The GPT-3 Appendix-C / PaLM / Llama training-data stage: before
+    training, any document overlapping an EVALUATION set at n-gram
+    grain is flagged (and usually dropped) so benchmark numbers
+    measure generalization, not memorization.
+
+    Scale shape: the benchmark side is distinct-gram-projected first —
+    benchmarks are ~10^4-10^6 grams, corpus is ~10^12 docs — then the
+    gram-keyed LEFT SEMI join flags corpus docs; Spark broadcasts the
+    benchmark gram set when it fits (the common case), so the corpus
+    is flagged in ONE pass with no corpus-side shuffle at all.
+
+    Returns DataFrame(id_col, contaminated int 0/1) — one row per
+    corpus doc.
+    """
+    cg = _distinct_doc_ngrams(corpus, text_col, id_col, n)
+    bg = _distinct_doc_ngrams(benchmark, text_col, id_col, n).select(
+        "gram"
+    ).distinct()
+    hits = cg.join(bg, "gram", "left_semi").select(id_col).distinct()
+    return corpus.select(id_col).join(
+        hits.withColumn("contaminated", F.lit(1)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("contaminated"), F.lit(0)).alias("contaminated"),
+    )

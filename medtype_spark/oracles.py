@@ -365,6 +365,27 @@ WITH base AS (
          length(text) AS n_chars
   FROM documents
 ),
+-- benchmark decontamination (dedup/crossdoc.py:decontaminate):
+-- doc_id % 37 = 0 plays the held-out benchmark (-1); any other doc
+-- sharing an 8-gram with it is contaminated (1), else clean (0)
+cxg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 8
+             THEN list_transform(range(1, len(toks) - 6),
+                                 i -> array_to_string(toks[i : i + 7], ' '))
+             ELSE []::VARCHAR[] END) AS gram
+    FROM base)
+),
+cxb AS (SELECT DISTINCT gram FROM cxg WHERE doc_id % 37 = 0),
+cx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0 THEN -1
+              WHEN EXISTS (SELECT 1 FROM cxg g JOIN cxb USING (gram)
+                           WHERE g.doc_id = base.doc_id)
+              THEN 1 ELSE 0 END AS contaminated
+  FROM base
+),
 q AS (
   SELECT doc_id, n_chars,
          len(toks) AS n_tokens,
@@ -499,9 +520,10 @@ SELECT q.*, l.pred_lang, f.fingerprint,
        g.dup_line_ratio, g.dup_line_char_ratio, g.gopher_pass,
        r.top_2gram_char_ratio, r.top_3gram_char_ratio,
        r.top_4gram_char_ratio, r.dup_5gram_char_ratio,
-       r.dup_10gram_char_ratio, r.gopher_rep_pass
+       r.dup_10gram_char_ratio, r.gopher_rep_pass,
+       cx.contaminated
 FROM q JOIN l USING (doc_id) JOIN f USING (doc_id) JOIN g USING (doc_id)
-     JOIN r USING (doc_id)
+     JOIN r USING (doc_id) JOIN cx USING (doc_id)
 """
 
 

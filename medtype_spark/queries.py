@@ -438,7 +438,13 @@ def q17_textstats(spark, sf_dir):
     (Rae et al. 2021 App. A; integer-exact threshold decisions) +
     Gopher n-gram repetition verdict (Table A1 n-gram half, one
     explode + one combiner-friendly groupBy), joined per doc (each
-    operator runs as its own plan; the join key is the doc grain)."""
+    operator runs as its own plan; the join key is the doc grain).
+
+    Merged (r5): benchmark decontamination (`dedup/crossdoc.py:
+    decontaminate`, the GPT-3 App.-C stage) — docs with doc_id % 37
+    == 0 play the held-out benchmark; every other doc sharing any
+    8-gram with that set is flagged ``contaminated``."""
+    from medtype_spark.dedup.crossdoc import decontaminate
     from medtype_spark.textstats.quality import (
         fingerprint,
         gopher_quality,
@@ -446,6 +452,11 @@ def q17_textstats(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    contam = decontaminate(d.where(F.col("doc_id") % 37 != 0), bench,
+                           "text", "doc_id", n=8).unionByName(
+        bench.select("doc_id", F.lit(-1).alias("contaminated"))
+    )
     q = quality_features(d, "text", "doc_id").select(
         "doc_id", "n_chars", "n_tokens", "n_bpe_tokens",
         _r6(F.col("avg_token_len")).alias("avg_token_len"),
@@ -462,6 +473,7 @@ def q17_textstats(spark, sf_dir):
         .join(fp, "doc_id")
         .join(gq, "doc_id")
         .join(rep, "doc_id")
+        .join(contam, "doc_id")
     )
 
 

@@ -108,3 +108,23 @@ def test_random_corpus_differential(spark):
                 assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
             else:
                 assert got[doc_id][k] == v, (doc_id, k)
+
+
+def test_decontaminate_planted_overlap(spark):
+    from pyspark.sql import Row
+
+    from medtype_spark.dedup.crossdoc import decontaminate
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=f"intro words here {shared} trailing tail"),
+        Row(doc_id=2, text="completely disjoint text with other tokens "
+                           "one two three four five six seven eight nine"),
+        Row(doc_id=3, text="too short"),  # < 8 tokens: can never hit
+    ])
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text=f"benchmark question: {shared} answer choice"),
+    ])
+    got = {r.doc_id: r.contaminated
+           for r in decontaminate(corpus, bench, "text", "doc_id", n=8).collect()}
+    assert got == {1: 1, 2: 0, 3: 0}
