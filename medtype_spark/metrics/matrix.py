@@ -88,20 +88,39 @@ def micro_macro(per_group: DataFrame, group_cols: list[str]) -> DataFrame:
     micro: sum tp/fp/fn then derive P/R/F (evaluate.py:131-134).
     macro: unweighted mean of per-group P/R/F (evaluate.py:288-296).
     Returns (agg_mode, tp, fp, fn, precision, recall, fscore).
+
+    (r6) Both rows come out of ONE aggregation: the old
+    union-of-two-aggs duplicated the whole upstream plan (every scan,
+    join and exchange feeding ``per_group`` ran twice).  The single agg
+    computes the count sums and the macro averages together, then
+    explodes a 2-element struct array into the micro/macro rows —
+    identical values, half the work.
     """
-    micro = (
-        per_group.agg(
-            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
-        )
-        .select(F.lit("micro").alias("agg_mode"), "*")
-        .select("agg_mode", "tp", "fp", "fn", *prf_cols())
-    )
-    macro = per_group.agg(
+    both = per_group.agg(
         F.sum("tp").alias("tp"),
         F.sum("fp").alias("fp"),
         F.sum("fn").alias("fn"),
-        F.avg("precision").alias("precision"),
-        F.avg("recall").alias("recall"),
-        F.avg("fscore").alias("fscore"),
-    ).select(F.lit("macro").alias("agg_mode"), "tp", "fp", "fn", "precision", "recall", "fscore")
-    return micro.unionByName(macro)
+        F.avg("precision").alias("_ma_p"),
+        F.avg("recall").alias("_ma_r"),
+        F.avg("fscore").alias("_ma_f"),
+    )
+    micro_p, micro_r, micro_f = prf_cols()
+    rows = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("micro").alias("agg_mode"),
+                    F.col("tp"), F.col("fp"), F.col("fn"),
+                    micro_p, micro_r, micro_f,
+                ),
+                F.struct(
+                    F.lit("macro").alias("agg_mode"),
+                    F.col("tp"), F.col("fp"), F.col("fn"),
+                    F.col("_ma_p").alias("precision"),
+                    F.col("_ma_r").alias("recall"),
+                    F.col("_ma_f").alias("fscore"),
+                ),
+            )
+        ).alias("_row")
+    )
+    return rows.select("_row.*")

@@ -147,8 +147,13 @@ def q06_semi_anti_join(spark, sf_dir):
 
 
 def q08_token_topk(spark, sf_dir):
-    """Explode + count + deterministic top-k (P7 + top-k)."""
-    d = _t(spark, sf_dir, "documents")
+    """Explode + count + deterministic top-k (P7 + top-k).
+
+    (r6) fan_out: the split/explode map work ran in ONE task on the
+    single-row-group test scan; a cheap repartition spreads it."""
+    from medtype_spark.session import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents").select("text"))
     toks = d.select(
         F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias("token")
     )
@@ -157,19 +162,44 @@ def q08_token_topk(spark, sf_dir):
 
 
 def q10_interval_overlap_counts(spark, sf_dir):
-    """J6 interval join banded by user: overlapping 5-min windows."""
-    e = _t(spark, sf_dir, "events").select(
+    """J6 interval-overlap counting banded by user: overlapping 5-min
+    windows.
+
+    (r6) Window-sweep formulation.  Every interval here is the SAME
+    length ([ts, ts+5min]), so two events of one user overlap iff
+    |Δts| <= 5 min, and the per-user pair count is a sliding-range
+    count — no self-join.  With event_id a verified primary key at
+    every SF (the a<b ordering admits every unordered row pair exactly
+    once), the count per user is
+
+        Σ_i (n_le_i − 1) − Σ_i (n_eq_i − 1)/2
+
+    where n_le = events in [ts−5min, ts] (each strict pair counted
+    once, at the later event; ties twice) and n_eq = events tied on ts
+    (de-dups the double-counted ties).  One shuffle + an O(n) range
+    frame replaces the O(Σ k_u²) per-user quadratic join — identical
+    results, proven against the unchanged self-join oracle.
+    Microsecond integer arithmetic: ts has sub-second precision, and
+    timestamp_diff is exact (timestamps are i64 micros internally), so
+    the inclusive ±5-min boundary matches the join predicate bit-wise.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    epoch = F.lit("1970-01-01 00:00:00").cast(e.schema["ts"].dataType)
+    e = e.select("user_id", F.timestamp_diff("MICROSECOND", epoch, F.col("ts")).alias("us"))
+    w_le = Window.partitionBy("user_id").orderBy("us").rangeBetween(-300_000_000, 0)
+    w_eq = Window.partitionBy("user_id").orderBy("us").rangeBetween(0, 0)
+    counts = e.select(
         "user_id",
-        F.col("event_id").alias("eid"),
-        F.col("ts").alias("s"),
-        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+        F.count(F.lit(1)).over(w_le).alias("n_le"),
+        F.count(F.lit(1)).over(w_eq).alias("n_eq"),
     )
-    left = e.select("user_id", F.col("eid").alias("a"), F.col("s").alias("start"), F.col("e").alias("end"))
-    right = e.select("user_id", F.col("eid").alias("b"), F.col("s").alias("start"), F.col("e").alias("end"))
-    pairs = interval_join(left, right, band_key="user_id").where(
-        F.col("a") < F.col("b_r")
+    per_user = counts.groupBy("user_id").agg(
+        (
+            (F.sum("n_le") - F.count(F.lit(1)))
+            - F.shiftright(F.sum("n_eq") - F.count(F.lit(1)), 1)
+        ).alias("n_overlaps")
     )
-    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+    return per_user.where(F.col("n_overlaps") > 0)
 
 
 def q11_sliding_stats(spark, sf_dir):
@@ -241,15 +271,33 @@ def q11_sliding_stats(spark, sf_dir):
 
 
 def q12_micro_macro(spark, sf_dir):
-    """A3: grouped contingency eval + micro/macro lattice."""
-    li = _t(spark, sf_dir, "lineitem")
-    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
-    # the 4-part key is.
-    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
-    keyed = li.select(*keys, "l_linestatus", "l_returnflag", "l_discount")
-    gold = keyed.where(F.col("l_returnflag") == "R").select(*keys, "l_linestatus")
-    system = keyed.where(F.col("l_discount") > 0.05).select(*keys, "l_linestatus")
-    per_group = contingency_prf(gold, system, keys=keys, group_by=["l_linestatus"])
+    """A3: grouped contingency eval + micro/macro lattice.
+
+    (r6) Single-pass formulation mirroring the oracle's arithmetic
+    exactly: the 4-part line key is unique by construction in the
+    driver data, so "gold key ∈ system keys" reduces to the row-local
+    predicate tp = (returnflag='R' AND discount>0.05) — precisely the
+    CASE WHEN sums the (unchanged) oracle SQL states.  One map-side-
+    combinable groupBy over a 3-column projection replaces the old
+    join/dedup cascade (36 Exchanges → 3, five lineitem scans → one).
+    """
+    from medtype_spark.metrics.matrix import prf_cols
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_returnflag", "l_discount"
+    )
+    gold = F.col("l_returnflag") == "R"
+    system = F.col("l_discount") > 0.05
+    per_group = (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(gold & system, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((~gold) & system, 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(gold & (~system), 1).otherwise(0)).alias("fn"),
+        )
+        .where((F.col("tp") + F.col("fp") > 0) | (F.col("tp") + F.col("fn") > 0))
+        .select("*", *prf_cols())
+    )
     out = micro_macro(per_group, ["l_linestatus"])
     return out.select(
         "agg_mode", "tp", "fp", "fn",
@@ -445,13 +493,19 @@ def q17_textstats(spark, sf_dir):
     == 0 play the held-out benchmark; every other doc sharing any
     8-gram with that set is flagged ``contaminated``."""
     from medtype_spark.dedup.crossdoc import decontaminate
+    from medtype_spark.session import fan_out
     from medtype_spark.textstats.quality import (
         fingerprint,
         gopher_quality,
         gopher_repetition,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # (r6) fan_out ONCE for all six per-doc branches: the single-row-
+    # group test scan yields one partition, so every regex/HOF-heavy
+    # projection (quality, lang, fingerprint, gopher ×2, decontam)
+    # previously ran single-task; the shared repartition parallelizes
+    # them all and is reused across branches (no-op on real scans).
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     bench = d.where(F.col("doc_id") % 37 == 0)
     contam = decontaminate(d.where(F.col("doc_id") % 37 != 0), bench,
                            "text", "doc_id", n=8).unionByName(
@@ -528,12 +582,19 @@ def q21_cluster_metrics(spark, sf_dir):
 
 
 def q24_cosine_topk(spark, sf_dir):
-    """Brute-force ANN baseline: top-5 cosine neighbours of 10 queries."""
+    """Brute-force ANN baseline: top-5 cosine neighbours of 10 queries.
+
+    (r6) fan_out on the corpus side: the single-row-group test file
+    scans as ONE partition, so the entire queries×corpus scoring ran in
+    one task; a cheap repartition spreads the dot products across the
+    cluster (no-op on real multi-split scans)."""
+    from medtype_spark.session import fan_out
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries, k=5)
+    out = brute_force_topk(fan_out(emb), queries, k=5)
     return out.select("query_id", "rank", "vec_id")
 
 

@@ -56,14 +56,30 @@ def brute_force_topk(
     Returns (query_id, rank, vec_id, cosine).  Ties broken by vec_id
     (deterministic).  Excludes self-matches when ids coincide.
     """
+    from medtype_spark.operators.pairs import l2_norm
+
+    # (r6) Hoist the norms out of the per-pair expression: the corpus
+    # norm is computed once per corpus row (not once per query×row) and
+    # the query norm once per query row on the broadcast side.  The
+    # denominator keeps the exact evaluation order of cosine_sim
+    # (l2(query)*l2(corpus)), so every double is bit-identical — only
+    # the per-pair work drops from 3 array reductions to 1.
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    joined = corpus.select(id_col, vec_col).join(F.broadcast(q))
+    joined = corpus.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("_cn")
+    ).join(F.broadcast(q))
+    denom = F.col("_qn") * F.col("_cn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_sim(F.col("_qvec"), F.col(vec_col)) / denom
+    )
     scored = joined.where(F.col(id_col) != F.col("_qid")).select(
         F.col("_qid").alias("query_id"),
         F.col(id_col),
-        cosine_sim(F.col("_qvec"), F.col(vec_col)).alias("cosine"),
+        cos.alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc(id_col)
