@@ -160,6 +160,140 @@ def muc(
     return prf_row(prow.crossJoin(rrow))
 
 
+def cluster_metrics_bundle(
+    true: DataFrame,
+    pred: DataFrame,
+    mention: str = "mention",
+    cluster: str = "cluster",
+) -> DataFrame:
+    """All four clustering metrics — pairwise, B³, MUC, BLANC-negative —
+    from ONE shared contingency table (r6 optimization).
+
+    PRECONDITION: after (mention, cluster) normalization each side maps
+    every mention to exactly ONE cluster (the mapping-form invariant of
+    every caller in this repo; q21's inputs key on the unique vec_id).
+    Under it a single full-outer join on the mention followed by
+    ``groupBy(c, pc)`` yields a contingency table whose null-keyed
+    margin rows carry the unaligned mentions, and every marginal the
+    four metrics need is derivable from it.  The per-metric functions
+    above re-derive the same joins and aggregates independently —
+    4 metrics × (2 normalizations + join + sizes) came to 122 Exchanges
+    and 56 scans in q21's physical plan; the bundle plans the join and
+    contingency ONCE (localCheckpoint pins it) and assembles the four
+    rows from three small aggregates.  Every output expression is
+    copied from the individual metric functions (same coalesce/cast/
+    division forms), so values are identical — parity-tested against
+    them in tests/test_clustering.py.
+
+    Returns 4 rows (metric, p_num, p_den, r_num, r_den, precision,
+    recall, fscore); metric ∈ pairwise|bcubed|muc|blanc_neg.
+    """
+    t = _normalize(true, mention, cluster)
+    p = _normalize(pred, mention, cluster).withColumnRenamed("c", "pc")
+    full = t.join(p, "m", "full_outer")
+    cnt = (
+        full.groupBy("c", "pc")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+
+    inner = cnt.where(F.col("c").isNotNull() & F.col("pc").isNotNull())
+
+    def _marginals(key: str, other: str) -> DataFrame:
+        """Per-cluster marginals of one side: total size n (incl.
+        unaligned), matched size n_common, distinct matching clusters
+        ``parts``, unaligned mention count."""
+        return (
+            cnt.where(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(
+                F.sum("k").alias("n"),
+                F.sum(
+                    F.when(F.col(other).isNotNull(), F.col("k")).otherwise(F.lit(0))
+                ).alias("n_common"),
+                F.count(F.when(F.col(other).isNotNull(), F.lit(1))).alias("parts"),
+                F.sum(
+                    F.when(F.col(other).isNull(), F.col("k")).otherwise(F.lit(0))
+                ).alias("unaligned"),
+            )
+        )
+
+    tC = _marginals("c", "pc")
+    pC = _marginals("pc", "c")
+
+    # B³ numerators need each inner cell next to both cluster totals
+    szs = (
+        inner.join(tC.select("c", F.col("n").alias("n_t")), "c")
+        .join(pC.select("pc", F.col("n").alias("n_p")), "pc")
+    )
+    s_inner = szs.agg(
+        F.coalesce(F.sum(_tri(F.col("k"))), F.lit(0.0)).alias("pos"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("double").alias("nc"),
+        F.coalesce(
+            F.sum(F.col("k") * F.col("k") / F.col("n_p")), F.lit(0.0)
+        ).alias("b3_pnum"),
+        F.coalesce(
+            F.sum(F.col("k") * F.col("k") / F.col("n_t")), F.lit(0.0)
+        ).alias("b3_rnum"),
+    )
+
+    def _side_scalars(m: DataFrame, tag: str) -> DataFrame:
+        return m.agg(
+            F.coalesce(F.sum(_tri(F.col("n"))), F.lit(0.0)).alias(f"{tag}_pairs"),
+            F.coalesce(F.sum(_tri(F.col("n_common"))), F.lit(0.0)).alias(f"{tag}pc"),
+            F.coalesce(
+                F.sum(F.col("n") - F.col("unaligned") - F.col("parts")), F.lit(0)
+            ).cast("double").alias(f"muc_{tag}num"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("double").alias(
+                f"muc_{tag}den"
+            ),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias(f"n{tag}"),
+        )
+
+    s_t = _side_scalars(tC, "t")
+    s_p = _side_scalars(pC, "p")
+    row = s_inner.crossJoin(s_t).crossJoin(s_p)
+
+    neg = _tri(F.col("nc")) - F.col("pos") - (
+        F.col("tpc") + F.col("ppc") - 2 * F.col("pos")
+    )
+
+    def _metric_struct(name, p_num, p_den, r_num, r_den):
+        return F.struct(
+            F.lit(name).alias("metric"),
+            p_num.alias("p_num"),
+            p_den.alias("p_den"),
+            r_num.alias("r_num"),
+            r_den.alias("r_den"),
+        )
+
+    rows = row.select(
+        F.explode(
+            F.array(
+                _metric_struct(
+                    "pairwise",
+                    F.col("pos"), F.col("p_pairs"), F.col("pos"), F.col("t_pairs"),
+                ),
+                _metric_struct(
+                    "bcubed",
+                    F.col("b3_pnum"), F.col("np"), F.col("b3_rnum"), F.col("nt"),
+                ),
+                _metric_struct(
+                    "muc",
+                    F.col("muc_pnum"), F.col("muc_pden"),
+                    F.col("muc_tnum"), F.col("muc_tden"),
+                ),
+                _metric_struct(
+                    "blanc_neg",
+                    neg, _tri(F.col("np")) - F.col("p_pairs"),
+                    neg, _tri(F.col("nt")) - F.col("t_pairs"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    return prf_row(rows)
+
+
 def pairwise_negative(
     true: DataFrame,
     pred: DataFrame,

@@ -493,21 +493,27 @@ def q17_textstats(spark, sf_dir):
     == 0 play the held-out benchmark; every other doc sharing any
     8-gram with that set is flagged ``contaminated``."""
     from medtype_spark.dedup.crossdoc import decontaminate
-    from medtype_spark.session import fan_out
     from medtype_spark.textstats.quality import (
         fingerprint,
         gopher_quality,
         gopher_repetition,
     )
 
-    # (r6) fan_out ONCE for all six per-doc branches: the single-row-
-    # group test scan yields one partition, so every regex/HOF-heavy
-    # projection (quality, lang, fingerprint, gopher ×2, decontam)
-    # previously ran single-task; the shared repartition parallelizes
-    # them all and is reused across branches (no-op on real scans).
-    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    bench = d.where(F.col("doc_id") % 37 == 0)
-    contam = decontaminate(d.where(F.col("doc_id") % 37 != 0), bench,
+    from medtype_spark.session import fan_out
+
+    # (r6) Selective fan_out: a SHARED fan_out of all six branches
+    # fragments into per-branch exchanges (each branch prunes different
+    # columns — measured 46 Exchanges / 20 scans, a 1.2s → 5-15s
+    # regression), so the four cheap per-row projections keep their
+    # single-task 5.9MB scans.  Only the two heavy aggregation branches
+    # — gopher repetition (≈260 exploded n-grams/doc) and benchmark
+    # decontamination (8-gram explodes) — get fanned-out inputs: their
+    # map work is the bulk of the query and ran single-task before.
+    d = _t(spark, sf_dir, "documents")
+    dn = d.select("doc_id", "text")
+    bench = dn.where(F.col("doc_id") % 37 == 0)
+    contam = decontaminate(fan_out(dn.where(F.col("doc_id") % 37 != 0)),
+                           fan_out(bench),
                            "text", "doc_id", n=8).unionByName(
         bench.select("doc_id", F.lit(-1).alias("contaminated"))
     )
@@ -521,7 +527,7 @@ def q17_textstats(spark, sf_dir):
     lang = predict_lang(d, "text", "doc_id")
     fp = fingerprint(d, "text", "doc_id")
     gq = gopher_quality(d, "text", "doc_id")
-    rep = gopher_repetition(d, "text", "doc_id")
+    rep = gopher_repetition(fan_out(dn), "text", "doc_id")
     return (
         q.join(lang, "doc_id")
         .join(fp, "doc_id")
@@ -562,23 +568,28 @@ def q21_cluster_metrics(spark, sf_dir):
     """Clustering-metric lattice in one frame: pairwise (A5 — THE
     acceptance metric, coref_metrics.py:605-611), B³ (A7), MUC (A8),
     and BLANC negative-pair agreement (A6, coref_metrics.py:574-598),
-    one row per metric."""
-    from medtype_spark.metrics.clustering import pairwise_negative
+    one row per metric.
+
+    (r6) Computed via ``cluster_metrics_bundle``: the four independent
+    metric plans re-derived the same normalize/join/size aggregates —
+    122 Exchanges and 56 scans — where one shared contingency table
+    suffices (inputs are mention-unique: vec_id is the table key).
+    Values are expression-identical to the four metric functions
+    (parity pytest + the unchanged per-metric oracle)."""
+    from medtype_spark.metrics.clustering import cluster_metrics_bundle
 
     true, pred = _clusterings(spark, sf_dir)
-    parts = [
-        ("pairwise", pairwise),
-        ("bcubed", b_cubed),
-        ("muc", muc),
-        ("blanc_neg", pairwise_negative),
-    ]
-    out = None
-    for name, fn in parts:
-        row = _metric_out(fn(true, pred)).select(
-            F.lit(name).alias("metric"), "*"
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    out = cluster_metrics_bundle(true, pred)
+    return out.select(
+        "metric",
+        _r6(F.col("p_num")).alias("p_num"),
+        _r6(F.col("p_den")).alias("p_den"),
+        _r6(F.col("r_num")).alias("r_num"),
+        _r6(F.col("r_den")).alias("r_den"),
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("fscore")).alias("fscore"),
+    )
 
 
 def q24_cosine_topk(spark, sf_dir):
@@ -732,12 +743,15 @@ def q53_flagship_linkage(spark, sf_dir):
     from medtype_spark.datagen.pages import build_lexicon, entity_types_df, synth_pages
     from medtype_spark.pipeline import evaluate_linkage, run_linkage
 
-    # partitions=4: python tasks fork a fresh worker each (session
-    # pins worker.reuse=false for the sandbox), so scan-stage task
-    # count IS the fixed cost at this 2000-page fixture size; results
-    # are partition-invariant (tested).  Real corpora get their
-    # partitioning from the input layout.
-    pages, gold = synth_pages(spark, 2000, n_entities=60, seed=42, partitions=4)
+    # partitions=1 (r6, was 4): python tasks fork a fresh worker each
+    # (session pins worker.reuse=false for the sandbox), so scan-stage
+    # task count IS the fixed cost at this 2000-page fixture size —
+    # fork+Arrow setup dwarfs the ~0.3s of actual python work, and the
+    # A/B (median-of-5, same session) reads 4.43s @ 4 parts vs 2.80s
+    # @ 1 part for the whole query.  Results are partition-invariant
+    # (tested).  Real corpora get their partitioning from the input
+    # layout, not this fixture constant.
+    pages, gold = synth_pages(spark, 2000, n_entities=60, seed=42, partitions=1)
     lex = build_lexicon(60)
     etypes = entity_types_df(spark, 60)
     # cleanup=False + checkpoint of the 1-row EVAL result (not the

@@ -134,3 +134,51 @@ def test_pairwise_negative_reference_doctest(spark):
     pred = {1: {"b", "c"}, 2: {"d", "e"}}
     row = pairwise_negative(_to_df(spark, true), _to_df(spark, pred)).collect()[0]
     assert (row["p_num"], row["p_den"], row["r_num"], row["r_den"]) == (2, 4, 2, 3)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_bundle_matches_individual_metrics(spark, seed):
+    """cluster_metrics_bundle (r6, one shared contingency) must equal
+    the four individual metric functions on mention-unique inputs —
+    including sides with unaligned mentions on both ends."""
+    from medtype_spark.metrics.clustering import (
+        cluster_metrics_bundle,
+        pairwise_negative,
+    )
+
+    rng = random.Random(seed)
+    mentions = [f"m{i}" for i in range(70)]
+    true = _random_clustering(rng, [m for m in mentions if rng.random() > 0.1], 9)
+    pred = _random_clustering(rng, [m for m in mentions if rng.random() > 0.1], 6)
+    t_df, p_df = _to_df(spark, true), _to_df(spark, pred)
+
+    got = {
+        r["metric"]: r
+        for r in cluster_metrics_bundle(t_df, p_df).collect()
+    }
+    want = {
+        "pairwise": pairwise(t_df, p_df).collect()[0],
+        "bcubed": b_cubed(t_df, p_df).collect()[0],
+        "muc": muc(t_df, p_df).collect()[0],
+        "blanc_neg": pairwise_negative(t_df, p_df).collect()[0],
+    }
+    assert set(got) == set(want)
+    cols = ("p_num", "p_den", "r_num", "r_den", "precision", "recall", "fscore")
+    for name, w in want.items():
+        g = got[name]
+        for c in cols:
+            assert abs(g[c] - w[c]) < 1e-9, (name, c, g[c], w[c])
+
+
+def test_bundle_empty_pred(spark):
+    """Zero-denominator path: empty pred side yields 0.0 P/R/F."""
+    from medtype_spark.metrics.clustering import cluster_metrics_bundle
+
+    true = {1: {"a", "b"}}
+    t_df = _to_df(spark, true)
+    p_df = t_df.where("mention = 'nope'")
+    rows = {r["metric"]: r for r in cluster_metrics_bundle(t_df, p_df).collect()}
+    assert len(rows) == 4
+    assert rows["pairwise"]["precision"] == 0.0
+    assert rows["pairwise"]["recall"] == 0.0
+    assert rows["muc"]["fscore"] == 0.0
