@@ -70,6 +70,42 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_local(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) computed ROW-LOCALLY — no explode, no shuffle (r6).
+
+    sig[i] = array_min(transform(shingles, g -> md5(i || ':' || g))) is
+    the same min-over-the-doc's-shingles as the explode+groupBy form
+    (``min`` is duplicate-insensitive and md5 is the identical
+    function), but the per-doc reduction happens inside one projection:
+    the explode machinery, the hash aggregation and the doc-keyed
+    exchange all disappear.  At 100 TB this is strictly better — the
+    signature is a pure function of the document row, so the operator
+    is embarrassingly parallel over the scan.  Equality with
+    ``doc_shingles(distinct=False) |> minhash_signatures`` is
+    pytest-asserted (tests/test_neardup.py)."""
+    grams = word_shingles(F.col(text_col), n)
+    base = df.select(F.col(id_col), grams.alias("_grams"))
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform(
+                F.col("_grams"),
+                lambda g: F.md5(F.concat_ws(":", F.lit(str(i)), g)),
+            )
+        )
+
+    return base.select(
+        F.col(id_col),
+        F.array(*[_mh(i) for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -451,15 +451,18 @@ def q14_exact_dedup(spark, sf_dir):
 def q15_minhash(spark, sf_dir):
     """MinHash signature digest (md5 hash family, portable).
 
-    distinct=False: min() is duplicate-insensitive, so the dedup
-    shuffle is skipped — signatures identical, one pass saved.
+    (r6) Row-local formulation: sig[i] = array_min over the doc's
+    shingle array — min() is duplicate-insensitive and a pure function
+    of the document row, so the explode + hash-aggregate + doc-keyed
+    exchange of the exploded form all disappear (zero shuffles after
+    fan_out).  Signatures identical (pytest + unchanged oracle).
     fan_out: the md5-per-shingle map work must not serialize on a
     single-row-group test file (no-op on real multi-split scans)."""
+    from medtype_spark.dedup.minhash import minhash_signatures_local
     from medtype_spark.session import fan_out
 
-    d = fan_out(_t(spark, sf_dir, "documents"))
-    sh = doc_shingles(d, "text", "doc_id", n=3, distinct=False)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sig = minhash_signatures_local(d, "text", "doc_id", n=3, num_hashes=8)
     return sig.select("doc_id", F.md5(F.concat_ws("|", "sig")).alias("sig_md5"))
 
 
@@ -499,21 +502,19 @@ def q17_textstats(spark, sf_dir):
         gopher_repetition,
     )
 
-    from medtype_spark.session import fan_out
-
-    # (r6) Selective fan_out: a SHARED fan_out of all six branches
-    # fragments into per-branch exchanges (each branch prunes different
-    # columns — measured 46 Exchanges / 20 scans, a 1.2s → 5-15s
-    # regression), so the four cheap per-row projections keep their
-    # single-task 5.9MB scans.  Only the two heavy aggregation branches
-    # — gopher repetition (≈260 exploded n-grams/doc) and benchmark
-    # decontamination (8-gram explodes) — get fanned-out inputs: their
-    # map work is the bulk of the query and ran single-task before.
+    # (r6) No fan_out anywhere: with gopher_repetition now row-local
+    # (no explode/shuffle) the branches are cheap projections plus the
+    # decontamination semi-join, and interleaved A/B at sf1.0 reads
+    # none=1.85s < rep+contam fan_out=2.07s < contam-only=2.29s — the
+    # repartitions only add exchanges here.  (A shared fan_out of all
+    # six branches is far worse still: each branch prunes different
+    # columns, fragmenting into 46 Exchanges / 20 scans, 5-15s.)  At
+    # real scale the scans are multi-split and fan_out would be a
+    # no-op anyway.
     d = _t(spark, sf_dir, "documents")
     dn = d.select("doc_id", "text")
     bench = dn.where(F.col("doc_id") % 37 == 0)
-    contam = decontaminate(fan_out(dn.where(F.col("doc_id") % 37 != 0)),
-                           fan_out(bench),
+    contam = decontaminate(dn.where(F.col("doc_id") % 37 != 0), bench,
                            "text", "doc_id", n=8).unionByName(
         bench.select("doc_id", F.lit(-1).alias("contaminated"))
     )
@@ -527,7 +528,7 @@ def q17_textstats(spark, sf_dir):
     lang = predict_lang(d, "text", "doc_id")
     fp = fingerprint(d, "text", "doc_id")
     gq = gopher_quality(d, "text", "doc_id")
-    rep = gopher_repetition(fan_out(dn), "text", "doc_id")
+    rep = gopher_repetition(dn, "text", "doc_id")
     return (
         q.join(lang, "doc_id")
         .join(fp, "doc_id")

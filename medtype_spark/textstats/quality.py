@@ -176,26 +176,93 @@ GOPHER_NGRAM_RULES = [
 ]
 
 
+def _rep_run_stats(toks_col, n: int):
+    """(top_mass, dup_mass) of the doc's word n-grams, ROW-LOCALLY.
+
+    Sort the gram array, then one ``aggregate`` pass reduces each run
+    of equal grams: run length = occurrence count, char mass of a run
+    = count × (len(gram) − (n−1) separator spaces).  "Most frequent"
+    keeps the FIRST run that strictly exceeds the best-so-far count —
+    the array is sorted, so ties resolve to the lexicographically
+    smallest gram, exactly the old min_by((−cnt, gram)) tie-break.
+    A run of length 0 (initial state) closes harmlessly (0 > 0 and
+    0 > 1 are both false), so the empty-array case needs no special
+    path and yields (0, 0).
+    """
+    # sequence(1, sz-n+1) is DESCENDING when sz < n (Spark yields
+    # [1, 0], not []), so short docs short-circuit to an empty array.
+    grams = F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top_cnt"),
+        F.lit(0).cast("long").alias("top_mass"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    sep = F.lit(n - 1).cast("long")
+
+    def _mass(acc):
+        return acc["run"] * (F.length(acc["prev"]).cast("long") - sep)
+
+    def _merge(acc, g):
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        closed_top_cnt = F.when(acc["run"] > acc["top_cnt"], acc["run"]).otherwise(
+            acc["top_cnt"]
+        )
+        closed_top_mass = F.when(acc["run"] > acc["top_cnt"], _mass(acc)).otherwise(
+            acc["top_mass"]
+        )
+        closed_dup = F.when(acc["run"] > 1, acc["dup"] + _mass(acc)).otherwise(
+            acc["dup"]
+        )
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top_cnt"]).otherwise(closed_top_cnt).alias("top_cnt"),
+            F.when(same, acc["top_mass"]).otherwise(closed_top_mass).alias("top_mass"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def _finish(acc):
+        return F.struct(
+            F.when(acc["run"] > acc["top_cnt"], _mass(acc))
+            .otherwise(acc["top_mass"]).alias("top_mass"),
+            F.when(acc["run"] > 1, acc["dup"] + _mass(acc))
+            .otherwise(acc["dup"]).alias("dup_mass"),
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, _merge, _finish)
+
+
 def gopher_repetition(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Gopher n-gram repetition signals as ONE explode + ONE groupBy.
+    """Gopher n-gram repetition signals as ONE row-local projection.
 
-    For every rule in :data:`GOPHER_NGRAM_RULES` the doc's lowercased
-    whitespace tokens are joined into word n-grams; the frame explodes
-    all (n, gram) pairs at once, counts them in a single hash
-    aggregation (map-side partial combine — the shuffle carries one row
-    per DISTINCT (doc, n, gram), not per occurrence), and reduces each
-    (doc, n) group to its top-gram and duplicated-gram character mass.
+    (r6) Each rule's top-gram / duplicated-gram character mass is a
+    pure function of the document's own token array, so it is computed
+    with a sorted-array run-length ``aggregate`` per rule
+    (:func:`_rep_run_stats`) — the old explode emitted ~Σ(len−n+1)
+    (doc, n, gram) rows per doc (≈260/doc, a multi-hundred-MB shuffle
+    per 50k docs at sf1.0 since grams are mostly distinct and partial
+    aggregation cannot collapse them) through a 3-level groupBy + join.
+    Now: zero shuffles, zero joins; per-doc work is O(grams log grams).
     Character mass of one occurrence = length of the gram minus its
-    n-1 separator spaces (i.e. the sum of its token lengths); the
-    denominator is the doc's total word characters.  Ties for "most
-    frequent" break to the lexicographically smallest gram so the
-    result is engine-portable.  The composite ``gopher_rep_pass``
-    verdict compares integer cross-products only (e.g. ``50*chars <=
-    9*wc`` for the 0.18 bound) — bit-portable, no float thresholds.
-    Docs with fewer than n tokens contribute no n-grams and pass that
-    rule trivially, matching the published filter.
+    n−1 separator spaces; the denominator is the doc's total word
+    characters.  Ties for "most frequent" break to the
+    lexicographically smallest gram (engine-portable).  The composite
+    ``gopher_rep_pass`` verdict compares integer cross-products only
+    (e.g. ``50*chars <= 9*wc`` for the 0.18 bound) — bit-portable, no
+    float thresholds.  Docs with fewer than n tokens contribute no
+    n-grams and pass that rule trivially, matching the published
+    filter.  Differential-tested against a pure-python reference
+    (tests/test_textstats.py) and the unchanged window-ranked oracle.
     """
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     base = df.select(
@@ -205,59 +272,15 @@ def gopher_repetition(
             F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
         ).alias("_wc"),
     )
-    # NB: the HOF lambdas below must stay single-parameter — pyspark
-    # binds a second lambda parameter to the ELEMENT INDEX (so an
-    # `n=n` default would be silently overwritten); the gram size is
-    # captured through the factory closures instead.
-    def _gram_at(n):
-        return lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n))
-
-    def _tag_n(n):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    gram_arrays = []
-    for n, _kind, _thr in GOPHER_NGRAM_RULES:
-        # sequence(1, sz-n+1) is DESCENDING when sz < n (Spark yields
-        # [1, 0], not []), so short docs must short-circuit to an
-        # empty array explicitly.
-        grams = F.when(
-            F.size("_toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-                _gram_at(n),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        gram_arrays.append(F.transform(grams, _tag_n(n)))
-    exploded = base.select(
-        F.col(id_col),
-        F.explode(F.concat(*gram_arrays)).alias("_ng"),
-    ).select(id_col, F.col("_ng.n").alias("n"), F.col("_ng.gram").alias("gram"))
-    counts = exploded.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
-    # char mass of all occurrences of this gram (spaces excluded)
-    mass = F.col("cnt") * (F.length("gram") - (F.col("n") - 1))
-    # most-frequent gram via min_by on (-cnt, gram): ties break to the
-    # lexicographically smallest gram; the ordering struct is unique
-    # per group (gram is a group key downstream), so deterministic
-    top_ord = F.struct((-F.col("cnt")).alias("neg"), F.col("gram").alias("gram"))
-    per_n = counts.groupBy(id_col, "n").agg(
-        F.min_by(mass, top_ord).alias("top_mass"),
-        F.sum(F.when(F.col("cnt") > 1, mass).otherwise(F.lit(0))).alias("dup_mass"),
-    )
-    agg_cols = []
-    for n, kind, _thr in GOPHER_NGRAM_RULES:
-        src = "top_mass" if kind == "top" else "dup_mass"
-        agg_cols.append(
-            F.coalesce(
-                F.max(F.when(F.col("n") == n, F.col(src))), F.lit(0)
-            ).alias(f"_{kind}{n}")
-        )
-    wide = per_n.groupBy(id_col).agg(*agg_cols)
-    # left join: docs too short for ANY rule still get a row (all 0)
-    out = base.select(id_col, "_wc").join(wide, id_col, "left")
+    stat_cols = {
+        n: _rep_run_stats(F.col("_toks"), n).alias(f"_st{n}")
+        for n, _kind, _thr in GOPHER_NGRAM_RULES
+    }
+    staged = base.select(F.col(id_col), F.col("_wc"), *stat_cols.values())
     zero = F.lit(0.0)
     ratio_cols, pass_expr = [], F.lit(True)
     for n, kind, (num, den) in GOPHER_NGRAM_RULES:
-        chars = F.coalesce(F.col(f"_{kind}{n}"), F.lit(0))
+        chars = F.col(f"_st{n}")["top_mass" if kind == "top" else "dup_mass"]
         ratio_cols.append(
             F.when(F.col("_wc") == 0, zero)
             .otherwise(F.round(chars / F.col("_wc"), 6))
@@ -265,7 +288,7 @@ def gopher_repetition(
         )
         # chars/wc <= num/den  <=>  den*chars <= num*wc  (wc=0 -> pass)
         pass_expr = pass_expr & (den * chars <= num * F.col("_wc"))
-    return out.select(
+    return staged.select(
         F.col(id_col),
         *ratio_cols,
         pass_expr.cast("int").alias("gopher_rep_pass"),

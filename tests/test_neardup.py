@@ -205,3 +205,30 @@ def test_ivf_topk_dot_metric_integer_exact(spark):
         query_id_col="vec_id", centroids=cents, metric="dot",
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_minhash_local_equals_exploded(spark):
+    """minhash_signatures_local (r6 row-local form) must produce
+    bit-identical signatures to the explode+groupBy form."""
+    from pyspark.sql import functions as F
+
+    from medtype_spark.dedup.minhash import (
+        doc_shingles,
+        minhash_signatures,
+        minhash_signatures_local,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta gamma"),
+        (2, "one two"),            # shorter than n -> single shingle
+        (3, ""),                   # empty text
+        (4, "  spaced   out   tokens here  "),
+        (5, "alpha beta gamma delta alpha beta gamma"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = doc_shingles(df, "text", "doc_id", n=3, distinct=False)
+    a = {r["doc_id"]: r["sig"] for r in
+         minhash_signatures(sh, "doc_id", num_hashes=8).collect()}
+    b = {r["doc_id"]: r["sig"] for r in
+         minhash_signatures_local(df, "text", "doc_id", n=3, num_hashes=8).collect()}
+    assert a == b
