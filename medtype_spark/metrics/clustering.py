@@ -85,6 +85,11 @@ def pairwise(
     p = _normalize(pred, mention, cluster)
     inter, t_sizes, p_sizes = _contingency(t, p)
 
+    # (r6 note) A union-tagged single-aggregation assembly was tried
+    # and measured SLOWER in the flagship eval (interleaved A/B: 3.19s
+    # crossJoin form vs 3.69s union form) — the 1-row scalar aggs +
+    # broadcast crossJoins are cheaper than forcing all three branches
+    # through one union/agg stage.  Kept as-is.
     num = inter.agg(F.coalesce(F.sum(_tri(F.col("n_tp"))), F.lit(0.0)).alias("num"))
     p_den = p_sizes.agg(F.coalesce(F.sum(_tri(F.col("n_p"))), F.lit(0.0)).alias("p_den"))
     r_den = t_sizes.agg(F.coalesce(F.sum(_tri(F.col("n_t"))), F.lit(0.0)).alias("r_den"))

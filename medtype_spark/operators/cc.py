@@ -55,6 +55,8 @@ def _driver_union_find_pdf(pdf, e: DataFrame) -> DataFrame:
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
 
+    import pandas as _pd
+
     rows = [(x, find(x)) for x in list(parent)] + [
         (r, r) for r in set(map(find, parent))
     ]
@@ -63,13 +65,14 @@ def _driver_union_find_pdf(pdf, e: DataFrame) -> DataFrame:
         T.StructField("node", e.schema["u"].dataType),
         T.StructField("component", e.schema["u"].dataType),
     ])
-    # explicit slice count: createDataFrame(list) would parallelize
-    # over defaultParallelism (32) near-empty python tasks, and this
-    # frame sits in the returned lineage (union + broadcast probe), so
-    # every downstream action would pay ~2x32 worker forks for a few
-    # thousand rows.  One slice per 500k labels keeps it to 1-2 tasks.
-    rdd = spark.sparkContext.parallelize(rows, 1 + len(rows) // 500_000)
-    return spark.createDataFrame(rdd, schema)
+    # (r6) Arrow pandas path instead of parallelize(rows): the row-RDD
+    # form pickled every label through python tasks at each downstream
+    # action (the r5 fix capped it at 1-2 slices, but those tasks still
+    # fork python workers); createDataFrame(pandas) ships ONE Arrow
+    # batch into the JVM at build time — zero python tasks in the
+    # returned lineage.
+    pdf_out = _pd.DataFrame(rows, columns=["node", "component"])
+    return spark.createDataFrame(pdf_out, schema)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
