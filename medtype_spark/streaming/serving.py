@@ -168,8 +168,25 @@ def windowed_stats_fixture_run(spark, window: str = "10 minutes",
     import tempfile
     import uuid
 
-    tmp = tempfile.mkdtemp(prefix="winstats_fixture_")
+    # (r6) Scratch space on /dev/shm when available: the source files
+    # and the checkpoint are ephemeral BY DESIGN (deleted in the
+    # finally below), so checkpoint durability buys nothing and every
+    # offset/commit/state fsync to real disk is pure latency.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="winstats_fixture_", dir=shm)
     name = "winstats_fixture_" + uuid.uuid4().hex[:12]
+    # (r6) State-store partitions sized to the fixture: a streaming
+    # aggregation creates one state store per shuffle partition PER
+    # MICRO-BATCH (offset/commit/state files each), so the session's
+    # scale-default (e.g. 32) costs 4×32 store commit cycles for a
+    # ~10-row, 3-user fixture.  2 partitions is the data-appropriate
+    # number here (env-overridable); the conf is restored in the
+    # finally, and the batch arms of q40 plan after restoration.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_FIXTURE_PARTITIONS", "2"),
+    )
     try:
         src = os.path.join(tmp, "src")
         os.makedirs(src)
@@ -204,6 +221,7 @@ def windowed_stats_fixture_run(spark, window: str = "10 minutes",
         rows = [(r["window_start"], r["user_id"], r["n_requests"],
                  r["avg_msg_size"]) for r in spark.table(name).collect()]
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
