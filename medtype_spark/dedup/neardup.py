@@ -24,7 +24,7 @@ from medtype_spark.dedup.minhash import (
     doc_shingles,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_local,
 )
 from medtype_spark.operators.cc import connected_components
 
@@ -43,7 +43,12 @@ def near_dup_clusters(
     sh = doc_shingles(docs, text_col, id_col, n=n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    # (r6) signatures row-locally (array_min over the doc's shingle
+    # array — no explode/groupBy/exchange; bit-identical to the
+    # exploded form, pytest-asserted).  ``sh`` stays persisted for the
+    # Jaccard verification, its other consumer.
+    sig = minhash_signatures_local(docs, text_col, id_col, n=n,
+                                   num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, bands=bands)
     verified = jaccard_pairs(sh, cands, id_col, min_jaccard=min_jaccard)
 

@@ -27,7 +27,6 @@ from medtype_spark.dedup.minhash import (
     doc_shingles,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
     simhash64,
 )
 from medtype_spark.functions.text import (
@@ -1004,10 +1003,14 @@ def q44_lsh_candidates(spark, sf_dir):
     """MinHash-LSH banding → candidate pairs: the equi-join-on-band
     path that replaces all-pairs at scale (dedup/minhash.py:65).  The
     md5 hash family is reproducible in DuckDB, so the full
-    shingle→signature→band→bucket-join chain is oracle-checked."""
+    shingle→signature→band→bucket-join chain is oracle-checked.
+
+    (r6) signatures via the row-local form (min over the doc's own
+    shingle array — no explode/groupBy; bit-identical, pytest)."""
+    from medtype_spark.dedup.minhash import minhash_signatures_local
+
     d = _t(spark, sf_dir, "documents")
-    sh = doc_shingles(d, "text", "doc_id", n=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig = minhash_signatures_local(d, "text", "doc_id", n=3, num_hashes=8)
     return lsh_candidate_pairs(sig, "doc_id", bands=4)
 
 
