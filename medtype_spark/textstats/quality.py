@@ -9,6 +9,8 @@ columns push down to the parquet scan.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,10 +44,16 @@ def bpe_token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
 
 
-def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-doc quality features: lengths, ratios, stopword share."""
+@lru_cache(maxsize=8)
+def _quality_cols(text_col: str) -> tuple:
+    """Column expressions of quality_features, built once per column
+    name (r6): Column trees are immutable plan fragments bound to an
+    unresolved name, so they are safely reusable across DataFrames —
+    and each construction costs dozens of py4j round-trips, which
+    dominated repeated query builds under this sandbox's syscall
+    emulation.  (Caveat: cached Columns wrap JVM objects, so they are
+    valid for the life of the python process's JVM — the repo's
+    tools/tests use one JVM per process.)"""
     toks = tokens(F.col(text_col))
     n_toks = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -55,8 +63,7 @@ def quality_features(
     )
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    return df.select(
-        F.col(id_col),
+    return (
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
         bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
@@ -65,6 +72,13 @@ def quality_features(
         F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars).alias("punct_ratio"),
         F.when(n_toks == 0, F.lit(0.0)).otherwise(n_stop / n_toks).alias("stopword_ratio"),
     )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality features: lengths, ratios, stopword share."""
+    return df.select(F.col(id_col), *_quality_cols(text_col))
 
 
 # The 8 "required stop words" of the published Gopher quality filter
@@ -101,6 +115,13 @@ def gopher_quality(
     higher-order functions (``array_distinct`` + ``aggregate``) — no
     explode, no shuffle; per-doc work is bounded by line count.
     """
+    return df.select(F.col(id_col), *_gopher_quality_cols(text_col))
+
+
+@lru_cache(maxsize=8)
+def _gopher_quality_cols(text_col: str) -> tuple:
+    """gopher_quality's Column expressions, built once per column name
+    (r6, see _quality_cols)."""
     toks = tokens(F.col(text_col))
     toks_lower = F.transform(toks, lambda t: F.lower(t))
     n_toks = F.size(toks)
@@ -137,8 +158,7 @@ def gopher_quality(
         & ((line_chars == 0) | (5 * dup_chars <= line_chars))
     )
     zero = F.lit(0.0)
-    return df.select(
-        F.col(id_col),
+    return (
         F.when(n_toks == 0, zero).otherwise(
             F.round(word_chars / n_toks, 6)
         ).alias("mean_word_len"),
@@ -176,7 +196,8 @@ GOPHER_NGRAM_RULES = [
 ]
 
 
-def _rep_run_stats(toks_col, n: int):
+@lru_cache(maxsize=32)
+def _rep_run_stats(toks_sql: str, n: int):
     """(top_mass, dup_mass) of the doc's word n-grams, ROW-LOCALLY.
 
     Sort the gram array, then one ``aggregate`` pass reduces each run
@@ -188,56 +209,42 @@ def _rep_run_stats(toks_col, n: int):
     A run of length 0 (initial state) closes harmlessly (0 > 0 and
     0 > 1 are both false), so the empty-array case needs no special
     path and yields (0, 0).
+
+    Emitted as ONE ``F.expr`` SQL string: the Column-API form of this
+    expression took ~110 py4j round-trips per rule to construct
+    (~1.2 s of pure DataFrame-BUILD time per q17 invocation under this
+    sandbox's syscall emulation); the SQL text is parsed JVM-side in
+    one call.  ``toks_sql`` is the SQL name of the token-array column.
     """
     # sequence(1, sz-n+1) is DESCENDING when sz < n (Spark yields
     # [1, 0], not []), so short docs short-circuit to an empty array.
-    grams = F.when(
-        F.size(toks_col) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top_cnt"),
-        F.lit(0).cast("long").alias("top_mass"),
-        F.lit(0).cast("long").alias("dup"),
+    sep = n - 1
+    mass_prev = f"(acc.run * (CAST(length(acc.prev) AS BIGINT) - {sep}L))"
+    closed_top_cnt = "(CASE WHEN acc.run > acc.top_cnt THEN acc.run ELSE acc.top_cnt END)"
+    closed_top_mass = (
+        f"(CASE WHEN acc.run > acc.top_cnt THEN {mass_prev} ELSE acc.top_mass END)"
     )
-    sep = F.lit(n - 1).cast("long")
-
-    def _mass(acc):
-        return acc["run"] * (F.length(acc["prev"]).cast("long") - sep)
-
-    def _merge(acc, g):
-        same = acc["prev"].isNotNull() & (g == acc["prev"])
-        closed_top_cnt = F.when(acc["run"] > acc["top_cnt"], acc["run"]).otherwise(
-            acc["top_cnt"]
-        )
-        closed_top_mass = F.when(acc["run"] > acc["top_cnt"], _mass(acc)).otherwise(
-            acc["top_mass"]
-        )
-        closed_dup = F.when(acc["run"] > 1, acc["dup"] + _mass(acc)).otherwise(
-            acc["dup"]
-        )
-        return F.struct(
-            g.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(same, acc["top_cnt"]).otherwise(closed_top_cnt).alias("top_cnt"),
-            F.when(same, acc["top_mass"]).otherwise(closed_top_mass).alias("top_mass"),
-            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
-        )
-
-    def _finish(acc):
-        return F.struct(
-            F.when(acc["run"] > acc["top_cnt"], _mass(acc))
-            .otherwise(acc["top_mass"]).alias("top_mass"),
-            F.when(acc["run"] > 1, acc["dup"] + _mass(acc))
-            .otherwise(acc["dup"]).alias("dup_mass"),
-        )
-
-    return F.aggregate(F.array_sort(grams), zero, _merge, _finish)
+    closed_dup = f"(CASE WHEN acc.run > 1L THEN acc.dup + {mass_prev} ELSE acc.dup END)"
+    same = "(acc.prev IS NOT NULL AND g = acc.prev)"
+    return F.expr(f"""
+      aggregate(
+        array_sort(
+          CASE WHEN size({toks_sql}) >= {n}
+               THEN transform(sequence(1, size({toks_sql}) - {sep}),
+                              i -> concat_ws(' ', slice({toks_sql}, i, {n})))
+               ELSE CAST(array() AS array<string>) END),
+        named_struct('prev', CAST(NULL AS string), 'run', 0L,
+                     'top_cnt', 0L, 'top_mass', 0L, 'dup', 0L),
+        (acc, g) -> named_struct(
+          'prev', g,
+          'run', CASE WHEN {same} THEN acc.run + 1L ELSE 1L END,
+          'top_cnt', CASE WHEN {same} THEN acc.top_cnt ELSE {closed_top_cnt} END,
+          'top_mass', CASE WHEN {same} THEN acc.top_mass ELSE {closed_top_mass} END,
+          'dup', CASE WHEN {same} THEN acc.dup ELSE {closed_dup} END),
+        acc -> named_struct(
+          'top_mass', {closed_top_mass},
+          'dup_mass', {closed_dup}))
+    """)
 
 
 def gopher_repetition(
@@ -273,7 +280,7 @@ def gopher_repetition(
         ).alias("_wc"),
     )
     stat_cols = {
-        n: _rep_run_stats(F.col("_toks"), n).alias(f"_st{n}")
+        n: _rep_run_stats("_toks", n).alias(f"_st{n}")
         for n, _kind, _thr in GOPHER_NGRAM_RULES
     }
     staged = base.select(F.col(id_col), F.col("_wc"), *stat_cols.values())
@@ -295,11 +302,10 @@ def gopher_repetition(
     )
 
 
-def predict_lang(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-word language ID: argmax of per-language marker hits.
-
-    Deterministic tie-break by language code; 'und' when no marker hits.
-    """
+@lru_cache(maxsize=8)
+def _predict_lang_col(text_col: str):
+    """predict_lang's Column expression, built once per column name
+    (r6, see _quality_cols)."""
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     scores = []
     for i, lang in enumerate(sorted(LANG_MARKERS)):
@@ -315,7 +321,15 @@ def predict_lang(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         )
     best = F.array_max(F.array(*scores))
     predicted = F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
-    return df.select(F.col(id_col), predicted.alias("pred_lang"))
+    return predicted.alias("pred_lang")
+
+
+def predict_lang(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits.
+
+    Deterministic tie-break by language code; 'und' when no marker hits.
+    """
+    return df.select(F.col(id_col), _predict_lang_col(text_col))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
