@@ -27,6 +27,8 @@ quality.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,17 +42,20 @@ def _safe_div(num, den):
     return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
 
 
-def prf_row(df: DataFrame) -> DataFrame:
-    """Append precision/recall/fscore to a (p_num,p_den,r_num,r_den) row."""
+@lru_cache(maxsize=1)
+def _prf_row_cols() -> tuple:
+    """precision/recall/fscore Columns over fixed names, built once
+    (r6): Column trees are immutable and reusable; rebuilding them per
+    call cost py4j round-trips on every metric invocation."""
     p = _safe_div(F.col("p_num"), F.col("p_den"))
     r = _safe_div(F.col("r_num"), F.col("r_den"))
     f = F.when((p + r) == 0, F.lit(0.0)).otherwise(2 * p * r / (p + r))
-    return df.select(
-        "*",
-        p.alias("precision"),
-        r.alias("recall"),
-        f.alias("fscore"),
-    )
+    return (p.alias("precision"), r.alias("recall"), f.alias("fscore"))
+
+
+def prf_row(df: DataFrame) -> DataFrame:
+    """Append precision/recall/fscore to a (p_num,p_den,r_num,r_den) row."""
+    return df.select("*", *_prf_row_cols())
 
 
 def _normalize(df: DataFrame, mention: str, cluster: str) -> DataFrame:
@@ -211,16 +216,7 @@ def cluster_metrics_bundle(
         return (
             cnt.where(F.col(key).isNotNull())
             .groupBy(key)
-            .agg(
-                F.sum("k").alias("n"),
-                F.sum(
-                    F.when(F.col(other).isNotNull(), F.col("k")).otherwise(F.lit(0))
-                ).alias("n_common"),
-                F.count(F.when(F.col(other).isNotNull(), F.lit(1))).alias("parts"),
-                F.sum(
-                    F.when(F.col(other).isNull(), F.col("k")).otherwise(F.lit(0))
-                ).alias("unaligned"),
-            )
+            .agg(*_marginal_aggs(other))
         )
 
     tC = _marginals("c", "pc")
@@ -231,7 +227,49 @@ def cluster_metrics_bundle(
         inner.join(tC.select("c", F.col("n").alias("n_t")), "c")
         .join(pC.select("pc", F.col("n").alias("n_p")), "pc")
     )
-    s_inner = szs.agg(
+    s_inner = szs.agg(*_inner_aggs())
+
+    s_t = tC.agg(*_side_scalar_aggs("t"))
+    s_p = pC.agg(*_side_scalar_aggs("p"))
+    row = s_inner.crossJoin(s_t).crossJoin(s_p)
+    rows = row.select(_bundle_explode_col()).select("_r.*")
+    return prf_row(rows)
+
+
+@lru_cache(maxsize=4)
+def _marginal_aggs(other: str) -> tuple:
+    """Aggregate Columns of cluster_metrics_bundle's marginals, built
+    once per opposite-side name (r6, see _prf_row_cols)."""
+    return (
+        F.sum("k").alias("n"),
+        F.sum(
+            F.when(F.col(other).isNotNull(), F.col("k")).otherwise(F.lit(0))
+        ).alias("n_common"),
+        F.count(F.when(F.col(other).isNotNull(), F.lit(1))).alias("parts"),
+        F.sum(
+            F.when(F.col(other).isNull(), F.col("k")).otherwise(F.lit(0))
+        ).alias("unaligned"),
+    )
+
+
+@lru_cache(maxsize=4)
+def _side_scalar_aggs(tag: str) -> tuple:
+    return (
+        F.coalesce(F.sum(_tri(F.col("n"))), F.lit(0.0)).alias(f"{tag}_pairs"),
+        F.coalesce(F.sum(_tri(F.col("n_common"))), F.lit(0.0)).alias(f"{tag}pc"),
+        F.coalesce(
+            F.sum(F.col("n") - F.col("unaligned") - F.col("parts")), F.lit(0)
+        ).cast("double").alias(f"muc_{tag}num"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("double").alias(
+            f"muc_{tag}den"
+        ),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias(f"n{tag}"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _inner_aggs() -> tuple:
+    return (
         F.coalesce(F.sum(_tri(F.col("k"))), F.lit(0.0)).alias("pos"),
         F.coalesce(F.sum("k"), F.lit(0)).cast("double").alias("nc"),
         F.coalesce(
@@ -242,23 +280,10 @@ def cluster_metrics_bundle(
         ).alias("b3_rnum"),
     )
 
-    def _side_scalars(m: DataFrame, tag: str) -> DataFrame:
-        return m.agg(
-            F.coalesce(F.sum(_tri(F.col("n"))), F.lit(0.0)).alias(f"{tag}_pairs"),
-            F.coalesce(F.sum(_tri(F.col("n_common"))), F.lit(0.0)).alias(f"{tag}pc"),
-            F.coalesce(
-                F.sum(F.col("n") - F.col("unaligned") - F.col("parts")), F.lit(0)
-            ).cast("double").alias(f"muc_{tag}num"),
-            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("double").alias(
-                f"muc_{tag}den"
-            ),
-            F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias(f"n{tag}"),
-        )
 
-    s_t = _side_scalars(tC, "t")
-    s_p = _side_scalars(pC, "p")
-    row = s_inner.crossJoin(s_t).crossJoin(s_p)
-
+@lru_cache(maxsize=1)
+def _bundle_explode_col():
+    """The 4-metric struct-array explode Column (fixed input names)."""
     neg = _tri(F.col("nc")) - F.col("pos") - (
         F.col("tpc") + F.col("ppc") - 2 * F.col("pos")
     )
@@ -272,31 +297,28 @@ def cluster_metrics_bundle(
             r_den.alias("r_den"),
         )
 
-    rows = row.select(
-        F.explode(
-            F.array(
-                _metric_struct(
-                    "pairwise",
-                    F.col("pos"), F.col("p_pairs"), F.col("pos"), F.col("t_pairs"),
-                ),
-                _metric_struct(
-                    "bcubed",
-                    F.col("b3_pnum"), F.col("np"), F.col("b3_rnum"), F.col("nt"),
-                ),
-                _metric_struct(
-                    "muc",
-                    F.col("muc_pnum"), F.col("muc_pden"),
-                    F.col("muc_tnum"), F.col("muc_tden"),
-                ),
-                _metric_struct(
-                    "blanc_neg",
-                    neg, _tri(F.col("np")) - F.col("p_pairs"),
-                    neg, _tri(F.col("nt")) - F.col("t_pairs"),
-                ),
-            )
-        ).alias("_r")
-    ).select("_r.*")
-    return prf_row(rows)
+    return F.explode(
+        F.array(
+            _metric_struct(
+                "pairwise",
+                F.col("pos"), F.col("p_pairs"), F.col("pos"), F.col("t_pairs"),
+            ),
+            _metric_struct(
+                "bcubed",
+                F.col("b3_pnum"), F.col("np"), F.col("b3_rnum"), F.col("nt"),
+            ),
+            _metric_struct(
+                "muc",
+                F.col("muc_pnum"), F.col("muc_pden"),
+                F.col("muc_tnum"), F.col("muc_tden"),
+            ),
+            _metric_struct(
+                "blanc_neg",
+                neg, _tri(F.col("np")) - F.col("p_pairs"),
+                neg, _tri(F.col("nt")) - F.col("t_pairs"),
+            ),
+        )
+    ).alias("_r")
 
 
 def pairwise_negative(
