@@ -28,8 +28,28 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=32)
+def _gram_array(text_col: str, n: int):
+    """Distinct-within-doc word n-gram array Column, built once per
+    (column, n) — r6: column construction is py4j-round-trip-bound on
+    this host; Columns are immutable plan fragments, safe to reuse.
+    sequence(1, sz-n+1) is DESCENDING when sz < n (Spark yields [1, 0],
+    not []), so short docs short-circuit to an empty array."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
 
 
 def cross_doc_shared_ngrams(
@@ -54,19 +74,9 @@ def cross_doc_shared_ngrams(
     no case folding.  The HOF lambdas stay single-parameter (pyspark
     binds a second parameter to the element index).
     """
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col), toks.alias("_toks"))
-    # sequence(1, sz-n+1) is DESCENDING when sz < n, so short docs
-    # short-circuit to an empty array explicitly.
-    grams = F.when(
-        F.size("_toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # one row per DISTINCT (doc, gram)
-    dg = base.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+    # one row per DISTINCT (doc, gram); gram Column cached per (col, n)
+    base = df.select(F.col(id_col))
+    dg = df.select(F.col(id_col), F.explode(_gram_array(text_col, n)).alias("gram"))
     dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     per_doc = (
         dg.join(dfreq, "gram")
@@ -77,7 +87,7 @@ def cross_doc_shared_ngrams(
             F.max("doc_freq").alias("max_ngram_doc_freq"),
         )
     )
-    out = base.select(id_col).join(per_doc, id_col, "left")
+    out = base.join(per_doc, id_col, "left")
     n_distinct = F.coalesce(F.col("n_distinct_ngrams"), F.lit(0))
     n_shared = F.coalesce(F.col("n_shared_ngrams"), F.lit(0))
     return out.select(
@@ -98,16 +108,7 @@ def _distinct_doc_ngrams(
 ) -> DataFrame:
     """One row per DISTINCT (doc, word-n-gram); same tokenization and
     short-doc semantics as cross_doc_shared_ngrams."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col), toks.alias("_toks"))
-    grams = F.when(
-        F.size("_toks") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return base.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+    return df.select(F.col(id_col), F.explode(_gram_array(text_col, n)).alias("gram"))
 
 
 def decontaminate(

@@ -14,12 +14,30 @@ Hashes are md5-based so the DuckDB oracle can reproduce them exactly
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def word_shingles(col, n: int = 3):
-    """Array of n-word shingles from whitespace-tokenized text."""
+    """Array of n-word shingles from whitespace-tokenized text.
+
+    Accepts a Column or a column NAME; the name form is lru_cached —
+    the shingle tree costs dozens of py4j round-trips to construct,
+    which dominated repeated query builds on this host (Columns are
+    immutable plan fragments, safe to reuse across DataFrames)."""
+    if isinstance(col, str):
+        return _word_shingles_cached(col, n)
+    return _word_shingles_build(col, n)
+
+
+@lru_cache(maxsize=32)
+def _word_shingles_cached(col_name: str, n: int):
+    return _word_shingles_build(F.col(col_name), n)
+
+
+def _word_shingles_build(col, n: int):
     toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
@@ -36,7 +54,7 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     same signature either way, so the minhash path saves a full pass
     over the shingle stream."""
     out = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
@@ -89,7 +107,7 @@ def minhash_signatures_local(
     is embarrassingly parallel over the scan.  Equality with
     ``doc_shingles(distinct=False) |> minhash_signatures`` is
     pytest-asserted (tests/test_neardup.py)."""
-    grams = word_shingles(F.col(text_col), n)
+    grams = word_shingles(text_col, n)
     base = df.select(F.col(id_col), grams.alias("_grams"))
 
     def _mh(i: int):
@@ -258,7 +276,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     is driver-hash-checked; same plan shape, just a pricier hash).
     """
     sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
     if hash_family == "xxhash64":
         sh = sh.withColumn("h", F.xxhash64("shingle"))
