@@ -50,11 +50,15 @@ def main():
     runs = 3
     if "--runs" in args:
         i = args.index("--runs")
-        runs = int(args[i + 1])
+        if i + 1 >= len(args):
+            sys.exit("usage: --runs N (N >= 1)")
+        runs = max(1, int(args[i + 1]))
         del args[i:i + 2]
     explain_dir = None
     if "--explain" in args:
         i = args.index("--explain")
+        if i + 1 >= len(args):
+            sys.exit("usage: --explain DIR")
         explain_dir = args[i + 1]
         del args[i:i + 2]
         os.makedirs(explain_dir, exist_ok=True)

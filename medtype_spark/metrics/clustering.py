@@ -193,7 +193,7 @@ def cluster_metrics_bundle(
     rows from three small aggregates.  Every output expression is
     copied from the individual metric functions (same coalesce/cast/
     division forms), so values are identical — parity-tested against
-    them in tests/test_clustering.py.
+    them in tests/test_clustering_metrics.py.
 
     Returns 4 rows (metric, p_num, p_den, r_num, r_den, precision,
     recall, fscore); metric ∈ pairwise|bcubed|muc|blanc_neg.

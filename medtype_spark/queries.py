@@ -25,7 +25,6 @@ from medtype_spark.dedup.exact import exact_dedup
 from medtype_spark.dedup.minhash import (
     capped_candidate_pairs,
     doc_shingles,
-    jaccard_pairs,
     lsh_candidate_pairs,
     simhash64,
 )
