@@ -180,6 +180,10 @@ def q10_interval_overlap_counts(spark, sf_dir):
     Microsecond integer arithmetic: ts has sub-second precision, and
     timestamp_diff is exact (timestamps are i64 micros internally), so
     the inclusive ±5-min boundary matches the join predicate bit-wise.
+    Preconditions (both hold by generator construction at every SF,
+    verified): event_id unique; ts non-null (the join form drops
+    null-ts rows via three-valued comparisons, the window form would
+    group null sort keys as peers).
     """
     e = _t(spark, sf_dir, "events").select("user_id", "ts")
     epoch = F.lit("1970-01-01 00:00:00").cast(e.schema["ts"].dataType)
